@@ -1,0 +1,197 @@
+"""Unit tests for the flow-matching interpolant and ODE solvers.
+
+The reference has no tests (SURVEY.md §4); these validate the CFM algebra
+against its closed forms and the solvers against analytically solvable
+fields (linear ODEs), including the exact-inversion round trip that the
+editing pipeline depends on.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uspace_tpu.core import flow, interpolant, solvers
+
+
+class TestInterpolant:
+    def test_endpoints(self, rng):
+        x1 = jax.random.normal(rng, (4, 8, 8, 3))
+        eps = jax.random.normal(jax.random.fold_in(rng, 1), x1.shape)
+        sigma_min = 1e-4
+        t0 = jnp.zeros((4,))
+        t1 = jnp.ones((4,))
+        # t=0 -> pure noise; t=1 -> x1 + sigma_min * eps
+        np.testing.assert_allclose(
+            interpolant.interpolate(x1, eps, t0, sigma_min), eps, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            interpolant.interpolate(x1, eps, t1, sigma_min),
+            x1 + sigma_min * eps,
+            rtol=1e-5,
+            atol=1e-6,
+        )
+
+    def test_target_velocity_is_path_derivative(self, rng):
+        # d/dt x_t = x1 - (1 - sigma_min) * eps = u, independent of t
+        x1 = jax.random.normal(rng, (2, 4, 4, 2))
+        eps = jax.random.normal(jax.random.fold_in(rng, 1), x1.shape)
+        sigma_min = 1e-4
+        t = jnp.array([0.3, 0.7])
+        dt = 1e-3
+        fd = (
+            interpolant.interpolate(x1, eps, t + dt, sigma_min)
+            - interpolant.interpolate(x1, eps, t - dt, sigma_min)
+        ) / (2 * dt)
+        np.testing.assert_allclose(
+            fd, interpolant.target_velocity(x1, eps, sigma_min), rtol=1e-3, atol=1e-4
+        )
+
+    def test_cfm_loss_shape_and_value(self, rng):
+        x = jax.random.normal(rng, (3, 4, 4, 2))
+        assert interpolant.cfm_loss(x, x).shape == (3,)
+        np.testing.assert_allclose(interpolant.cfm_loss(x, x), 0.0, atol=1e-7)
+        loss = interpolant.cfm_loss(x, jnp.zeros_like(x))
+        np.testing.assert_allclose(loss, (x**2).mean(axis=(1, 2, 3)), rtol=1e-6)
+
+    def test_training_loss_of_perfect_model_small(self, rng):
+        # A model that predicts exactly u_t has zero loss.
+        x1 = jax.random.normal(rng, (8, 4, 4, 1))
+        sigma_min = 1e-4
+        t, x_t, u_t = interpolant.sample_path(jax.random.fold_in(rng, 7), x1, sigma_min)
+        loss = interpolant.cfm_loss(u_t, u_t)
+        assert float(loss.max()) < 1e-10
+
+
+def _linear_vf(a):
+    return lambda t, x: a * x
+
+
+class TestFixedSolvers:
+    @pytest.mark.parametrize(
+        "method,order,grids",
+        [("euler", 1, (20, 40)), ("midpoint", 2, (8, 16)), ("rk4", 4, (2, 4))],
+    )
+    def test_exponential_convergence(self, method, order, grids):
+        # dx/dt = -x, x(0)=1 -> x(1)=exp(-1); error ~ O(h^order).
+        # Grids are coarse enough that the error sits above f32 noise.
+        x0 = jnp.ones((2, 3))
+        exact = float(np.exp(-1.0))
+        errs = []
+        for n in grids:
+            x1 = solvers.odeint_fixed(_linear_vf(-1.0), x0, 0.0, 1.0, n, method)
+            errs.append(abs(float(x1[0, 0]) - exact))
+        rate = np.log2(errs[0] / max(errs[1], 1e-14))
+        assert rate > order - 0.5, (errs, rate)
+        assert errs[1] < 10.0 ** (-order)
+
+    def test_time_dependent_field(self):
+        # dx/dt = 2t -> x(1) = x(0) + 1
+        x1 = solvers.odeint_fixed(lambda t, x: 2 * t * jnp.ones_like(x),
+                                  jnp.zeros((1,)), 0.0, 1.0, 100, "rk4")
+        np.testing.assert_allclose(x1, 1.0, rtol=1e-5)
+
+    def test_reverse_time(self):
+        # integrate forward then backward -> identity (exact inversion basis)
+        vf = _linear_vf(0.7)
+        x0 = jnp.linspace(-1, 1, 6).reshape(2, 3)
+        xf = solvers.odeint_fixed(vf, x0, 0.0, 1.0, 200, "rk4")
+        xb = solvers.odeint_fixed(vf, xf, 1.0, 0.0, 200, "rk4")
+        np.testing.assert_allclose(xb, x0, rtol=1e-5, atol=1e-6)
+
+    def test_aux_capture_stacks_per_step(self):
+        def vf(t, x):
+            return -x, {"tap": x * 2.0, "t": t}
+
+        x1, aux = solvers.odeint_fixed(
+            vf, jnp.ones((2,)), 0.0, 1.0, 10, "euler", has_aux=True
+        )
+        assert aux["tap"].shape == (10, 2)
+        assert aux["t"].shape == (10,)
+        np.testing.assert_allclose(aux["t"], jnp.arange(10) / 10, atol=1e-6)
+        np.testing.assert_allclose(aux["tap"][0], 2.0)
+
+    def test_jittable(self):
+        f = jax.jit(
+            lambda x: solvers.odeint_fixed(_linear_vf(-1.0), x, 0.0, 1.0, 50, "euler")
+        )
+        out = f(jnp.ones((4,)))
+        assert out.shape == (4,)
+
+
+class TestAdaptiveSolvers:
+    @pytest.mark.parametrize("method", ["dopri5", "bosh3", "adaptive_heun"])
+    def test_exponential(self, method):
+        x0 = jnp.ones((2, 2))
+        x1 = solvers.odeint_adaptive(_linear_vf(-1.0), x0, 0.0, 1.0, method=method)
+        np.testing.assert_allclose(x1, np.exp(-1.0), rtol=1e-4)
+
+    def test_tolerance_scaling(self):
+        # tighter tolerance -> smaller error on a stiff-ish oscillator
+        def vf(t, x):
+            return jnp.stack([x[1], -25.0 * x[0]])
+
+        x0 = jnp.array([1.0, 0.0])
+        exact = np.array([np.cos(5.0), -5 * np.sin(5.0)])
+        loose = solvers.odeint_adaptive(vf, x0, 0.0, 1.0, rtol=1e-3, atol=1e-3)
+        tight = solvers.odeint_adaptive(vf, x0, 0.0, 1.0, rtol=1e-7, atol=1e-7)
+        assert np.abs(tight - exact).max() < np.abs(loose - exact).max()
+        np.testing.assert_allclose(tight, exact, rtol=1e-4, atol=1e-5)
+
+    def test_reverse_time(self):
+        vf = _linear_vf(0.5)
+        x0 = jnp.ones((3,))
+        xf = solvers.odeint_adaptive(vf, x0, 0.0, 1.0)
+        xb = solvers.odeint_adaptive(vf, xf, 1.0, 0.0)
+        np.testing.assert_allclose(xb, x0, rtol=1e-4)
+
+    def test_jittable(self):
+        f = jax.jit(lambda x: solvers.odeint_adaptive(_linear_vf(-1.0), x, 0.0, 1.0))
+        np.testing.assert_allclose(f(jnp.ones((2,))), np.exp(-1.0), rtol=1e-4)
+
+
+class TestSolverDispatch:
+    def test_fixed_kwargs(self):
+        sk = {"solver": "fixed", "solver_fix": "euler", "solver_fix_step": 0.01}
+        x1 = solvers.odeint(_linear_vf(-1.0), jnp.ones((2,)), 0.0, 1.0, sk)
+        np.testing.assert_allclose(x1, np.exp(-1.0), rtol=1e-2)
+
+    def test_fixadp(self):
+        sk = {
+            "solver": "fixadp",
+            "solver_fix": "euler",
+            "solver_fix_step": 0.005,
+            "solver_adaptive": "dopri5",
+        }
+        x1 = solvers.odeint(_linear_vf(-1.0), jnp.ones((2,)), 0.0, 1.0, sk, t_mid=0.4)
+        np.testing.assert_allclose(x1, np.exp(-1.0), rtol=1e-2)
+
+    def test_default_is_dopri5(self):
+        x1 = solvers.odeint(_linear_vf(-1.0), jnp.ones((2,)), 0.0, 1.0, None)
+        np.testing.assert_allclose(x1, np.exp(-1.0), rtol=1e-4)
+
+
+class TestFlowDriver:
+    def test_decode_encode_roundtrip(self, rng):
+        # A fixed linear velocity field: decode then encode recovers z.
+        w = 0.8
+
+        def velocity_fn(t_batch, x):
+            return w * x
+
+        z = jax.random.normal(rng, (2, 4, 4, 2))
+        x = flow.decode(velocity_fn, z,
+                        {"solver": "fixed", "solver_fix": "rk4",
+                         "solver_fix_step": 0.02})
+        z_rec = flow.encode(velocity_fn, x,
+                            {"solver_fix": "rk4", "solver_fix_step": 0.02})
+        np.testing.assert_allclose(z_rec, z, rtol=1e-4, atol=1e-5)
+
+    def test_training_loss_runs_and_is_positive(self, rng):
+        def velocity_fn(t, x):
+            return jnp.zeros_like(x)
+
+        x1 = jax.random.normal(rng, (4, 4, 4, 2))
+        loss = flow.training_loss(velocity_fn, rng, x1, 1e-4)
+        assert loss.shape == (4,)
+        assert float(loss.mean()) > 0.1

@@ -1,0 +1,338 @@
+"""On-device ODE solvers for flow-matching sampling and inversion.
+
+The reference integrates the learned velocity field with host-side
+``torchdiffeq`` (`/root/reference/flow_matching.py:8,130-180`): fixed-step
+euler/midpoint/rk4 (``options.step_size``), adaptive dopri5/bosh3/
+adaptive_heun (rtol=atol=1e-5), and a "fixadp" composition that is
+fixed-step on [0, t_mid] and adaptive on [t_mid, 1].
+
+Here every solver compiles to a single XLA program:
+
+- fixed-step methods are a ``lax.scan`` over a precomputed time grid, so the
+  entire 50/100-NFE sampling loop is one device launch; the scan can also
+  stack per-step auxiliary outputs (activation captures for u-space editing
+  reads — the TPU-native replacement for the reference's per-step
+  ``np.save`` inside the forward pass, `libs/dissection.py:126-137`);
+- adaptive methods are a ``lax.while_loop`` with a PI step controller and
+  static iteration cap (no adjoint machinery: the reference passes
+  ``adjoint_params=()`` and never differentiates through sampling).
+
+Velocity-field signature: ``vf(t, x) -> dx/dt`` with scalar ``t``; or
+``vf(t, x) -> (dx/dt, aux)`` when ``has_aux=True`` (fixed-step only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+_RTOL = 1e-5  # reference defaults, flow_matching.py:11-12
+_ATOL = 1e-5
+
+# ---------------------------------------------------------------------------
+# Fixed-step methods (lax.scan)
+# ---------------------------------------------------------------------------
+
+
+def _euler_step(vf, t, x, dt):
+    return vf(t, x)
+
+
+def _wrap_no_aux(vf):
+    def vf_aux(t, x):
+        return vf(t, x), None
+
+    return vf_aux
+
+
+def odeint_fixed(
+    vf: Callable,
+    x0: Any,
+    t0: float,
+    t1: float,
+    num_steps: int,
+    method: str = "euler",
+    has_aux: bool = False,
+    unroll: int = 1,
+):
+    """Integrate ``dx/dt = vf(t, x)`` from t0 to t1 in ``num_steps`` equal steps.
+
+    Supports reverse time (t1 < t0) for exact inversion
+    (reference ``CNF.encode``, flow_matching.py:102-125).
+
+    Returns ``x(t1)``; with ``has_aux=True``, returns ``(x(t1), stacked_aux)``
+    where aux comes from the *first* velocity evaluation of each step (the
+    tap point the reference records at, one save per ODE step).
+    """
+    if method not in ("euler", "midpoint", "rk4"):
+        raise NotImplementedError(f"fixed-step method {method!r}")
+    vf_aux = vf if has_aux else _wrap_no_aux(vf)
+    dt = (t1 - t0) / num_steps
+    ts = t0 + dt * jnp.arange(num_steps, dtype=jnp.float32)
+
+    def step(x, t):
+        k1, aux = vf_aux(t, x)
+        if method == "euler":
+            dx = k1
+        elif method == "midpoint":
+            k2, _ = vf_aux(t + dt / 2, jax.tree.map(lambda a, b: a + (dt / 2) * b, x, k1))
+            dx = k2
+        else:  # rk4 (classic)
+            k2, _ = vf_aux(t + dt / 2, jax.tree.map(lambda a, b: a + (dt / 2) * b, x, k1))
+            k3, _ = vf_aux(t + dt / 2, jax.tree.map(lambda a, b: a + (dt / 2) * b, x, k2))
+            k4, _ = vf_aux(t + dt, jax.tree.map(lambda a, b: a + dt * b, x, k3))
+            dx = jax.tree.map(
+                lambda a, b, c, d: (a + 2 * b + 2 * c + d) / 6.0, k1, k2, k3, k4
+            )
+        x_next = jax.tree.map(lambda a, b: a + dt * b, x, dx)
+        return x_next, aux
+
+    x1, auxs = lax.scan(step, x0, ts, unroll=unroll)
+    if has_aux:
+        return x1, auxs
+    return x1
+
+
+# ---------------------------------------------------------------------------
+# Adaptive Runge–Kutta methods (lax.while_loop)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _Tableau:
+    """Explicit embedded RK tableau (c, a, b_high, b_err)."""
+
+    order: int  # order used for step-size control exponent
+    c: tuple
+    a: tuple  # lower-triangular rows, row i has i entries
+    b: tuple  # 5th (high) order weights
+    b_err: tuple  # b_high - b_low, for the error estimate
+    fsal: bool  # first-same-as-last
+
+
+# Dormand–Prince 5(4) — the torchdiffeq "dopri5" default.
+_DOPRI5 = _Tableau(
+    order=5,
+    c=(0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0),
+    a=(
+        (),
+        (1 / 5,),
+        (3 / 40, 9 / 40),
+        (44 / 45, -56 / 15, 32 / 9),
+        (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+        (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+        (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+    ),
+    b=(35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0),
+    b_err=(
+        35 / 384 - 1951 / 21600,
+        0.0,
+        500 / 1113 - 22642 / 50085,
+        125 / 192 - 451 / 720,
+        -2187 / 6784 - -12231 / 42400,
+        11 / 84 - 649 / 6300,
+        -1.0 / 60.0,
+    ),
+    fsal=True,
+)
+
+# Bogacki–Shampine 3(2) — torchdiffeq "bosh3".
+_BOSH3 = _Tableau(
+    order=3,
+    c=(0.0, 1 / 2, 3 / 4, 1.0),
+    a=((), (1 / 2,), (0.0, 3 / 4), (2 / 9, 1 / 3, 4 / 9)),
+    b=(2 / 9, 1 / 3, 4 / 9, 0.0),
+    b_err=(2 / 9 - 7 / 24, 1 / 3 - 1 / 4, 4 / 9 - 1 / 3, -1 / 8),
+    fsal=True,
+)
+
+# Heun–Euler 2(1) — torchdiffeq "adaptive_heun".
+_HEUN = _Tableau(
+    order=2,
+    c=(0.0, 1.0),
+    a=((), (1.0,)),
+    b=(1 / 2, 1 / 2),
+    b_err=(1 / 2 - 1.0, 1 / 2),
+    fsal=False,
+)
+
+_TABLEAUS = {"dopri5": _DOPRI5, "bosh3": _BOSH3, "adaptive_heun": _HEUN}
+
+
+def _rms_norm(tree) -> Array:
+    leaves = jax.tree.leaves(tree)
+    sq = sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)
+    n = sum(l.size for l in leaves)
+    return jnp.sqrt(sq / n)
+
+
+def _error_ratio(err, x0, x1, rtol, atol) -> Array:
+    def scale(e, a, b):
+        tol = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+        return e.astype(jnp.float32) / tol
+
+    return _rms_norm(jax.tree.map(scale, err, x0, x1))
+
+
+def _initial_step(vf, t0, x0, f0, direction, order, rtol, atol):
+    """Hairer/Wanner initial step heuristic (torchdiffeq `_select_initial_step`)."""
+
+    def scale_of(x):
+        return jax.tree.map(lambda a: atol + rtol * jnp.abs(a), x)
+
+    sc = scale_of(x0)
+    d0 = _rms_norm(jax.tree.map(lambda a, s: a / s, x0, sc))
+    d1 = _rms_norm(jax.tree.map(lambda a, s: a / s, f0, sc))
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    x1 = jax.tree.map(lambda a, b: a + direction * h0 * b, x0, f0)
+    f1 = vf(t0 + direction * h0, x1)
+    d2 = _rms_norm(jax.tree.map(lambda a, b, s: (a - b) / s, f1, f0, sc)) / h0
+    h1 = jnp.where(
+        jnp.maximum(d1, d2) <= 1e-15,
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / jnp.maximum(d1, d2)) ** (1.0 / order),
+    )
+    return jnp.minimum(100.0 * h0, h1)
+
+
+def odeint_adaptive(
+    vf: Callable,
+    x0: Any,
+    t0: float,
+    t1: float,
+    method: str = "dopri5",
+    rtol: float = _RTOL,
+    atol: float = _ATOL,
+    max_steps: int = 4096,
+    safety: float = 0.9,
+    ifactor: float = 10.0,
+    dfactor: float = 0.2,
+):
+    """Adaptive embedded-RK integration with PI-free (classic) step control.
+
+    Matches torchdiffeq's accept/adapt rule: accept when the scaled RMS error
+    ratio <= 1; next step = h * clip(safety * ratio^(-1/order), dfactor,
+    ifactor). Entirely on-device via ``lax.while_loop`` with a static
+    ``max_steps`` cap (loop exits early once t reaches t1).
+    """
+    tab = _TABLEAUS[method]
+    n_stage = len(tab.c)
+    t0 = jnp.asarray(t0, jnp.float32)
+    t1 = jnp.asarray(t1, jnp.float32)
+    direction = jnp.sign(t1 - t0)
+
+    f0 = vf(t0, x0)
+    h0 = _initial_step(vf, t0, x0, f0, direction, tab.order, rtol, atol)
+
+    def rk_step(t, x, f_first, h):
+        """One embedded RK step of signed size h*direction."""
+        hs = h * direction
+        ks = [f_first]
+        for i in range(1, n_stage):
+            xi = x
+            for j, aij in enumerate(tab.a[i]):
+                if aij != 0.0:
+                    xi = jax.tree.map(lambda a, b: a + hs * aij * b, xi, ks[j])
+            ks.append(vf(t + tab.c[i] * hs, xi))
+        x_new = x
+        for bi, ki in zip(tab.b, ks):
+            if bi != 0.0:
+                x_new = jax.tree.map(lambda a, b: a + hs * bi * b, x_new, ki)
+        err = jax.tree.map(jnp.zeros_like, x)
+        for ei, ki in zip(tab.b_err, ks):
+            if ei != 0.0:
+                err = jax.tree.map(lambda a, b: a + hs * ei * b, err, ki)
+        f_last = ks[-1] if tab.fsal else vf(t + hs, x_new)
+        return x_new, err, f_last
+
+    def cond(state):
+        t, x, f, h, n = state
+        return (n < max_steps) & (direction * (t1 - t) > 1e-8)
+
+    def body(state):
+        t, x, f, h, n = state
+        # do not overshoot t1
+        h = jnp.minimum(h, jnp.abs(t1 - t))
+        x_new, err, f_last = rk_step(t, x, f, h)
+        ratio = _error_ratio(err, x, x_new, rtol, atol)
+        accept = ratio <= 1.0
+        factor = jnp.clip(
+            safety * jnp.power(jnp.maximum(ratio, 1e-10), -1.0 / tab.order),
+            dfactor,
+            ifactor,
+        )
+        h_next = h * factor
+        t_next = jnp.where(accept, t + h * direction, t)
+        x_next = jax.tree.map(
+            lambda a, b: jnp.where(accept, b, a), x, x_new
+        )
+        f_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), f, f_last)
+        return (t_next, x_next, f_next, h_next, n + 1)
+
+    state = (t0, x0, f0, h0, jnp.zeros((), jnp.int32))
+    _, x_final, _, _, _ = lax.while_loop(cond, body, state)
+    return x_final
+
+
+# ---------------------------------------------------------------------------
+# Reference-compatible driver (solver_kwargs surface)
+# ---------------------------------------------------------------------------
+
+
+def num_fixed_steps(t0: float, t1: float, step_size: float) -> int:
+    """Static step count for a fixed-step solve (torchdiffeq step grid)."""
+    return max(1, int(round(abs(t1 - t0) / step_size)))
+
+
+def odeint(
+    vf: Callable,
+    x0: Any,
+    t0: float,
+    t1: float,
+    solver_kwargs: Optional[dict] = None,
+    t_mid: Optional[float] = None,
+    has_aux: bool = False,
+    rtol: float = _RTOL,
+    atol: float = _ATOL,
+):
+    """Dispatch on the reference's ``solver_kwargs`` dict
+    (configs/*.py `dissection.solver_kwargs`):
+
+    - ``{"solver": "fixed", "solver_fix": m, "solver_fix_step": s}``
+    - ``{"solver": "adaptive", "solver_adaptive": m}``
+    - ``{"solver": "fixadp", ...}`` with split point ``t_mid`` — fixed on
+      [t0, t_mid], adaptive on [t_mid, t1] (flow_matching.py:153-180).
+    """
+    sk = dict(solver_kwargs or {"solver": "adaptive", "solver_adaptive": "dopri5"})
+    kind = sk.get("solver", "adaptive")
+    if kind == "fixed":
+        n = num_fixed_steps(t0, t1, sk.get("solver_fix_step", 0.01))
+        return odeint_fixed(
+            vf, x0, t0, t1, n, method=sk.get("solver_fix", "euler"), has_aux=has_aux
+        )
+    if has_aux:
+        raise ValueError("activation capture requires a fixed-step solver")
+    if kind == "adaptive":
+        return odeint_adaptive(
+            vf, x0, t0, t1, method=sk.get("solver_adaptive", "dopri5"),
+            rtol=rtol, atol=atol,
+        )
+    if kind == "fixadp":
+        if t_mid is None:
+            raise ValueError("fixadp requires t_mid (reference uses t_edit)")
+        n = num_fixed_steps(t0, t_mid, sk.get("solver_fix_step", 0.01))
+        x_mid = odeint_fixed(
+            vf, x0, t0, t_mid, n, method=sk.get("solver_fix", "euler")
+        )
+        return odeint_adaptive(
+            vf, x_mid, t_mid, t1, method=sk.get("solver_adaptive", "dopri5"),
+            rtol=rtol, atol=atol,
+        )
+    raise NotImplementedError(f"solver={kind!r}")

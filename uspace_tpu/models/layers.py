@@ -1,0 +1,207 @@
+"""Shared denoiser layers: time embedding, patch ops, transformer blocks.
+
+Functional counterparts of `/root/reference/libs/uvit.py:26-179` and the
+vendored timm pieces (`libs/timm.py`), in NHWC layout (TPU-native; the
+PyTorch reference is NCHW — weight converters handle the transpose).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..editing.specs import AttnEdit
+from ..ops.attention import multi_head_attention
+
+Array = jax.Array
+
+# torch defaults the reference relies on: LayerNorm eps=1e-5, exact GELU
+LN_EPS = 1e-5
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def timestep_embedding(timesteps: Array, dim: int, max_period: float = 10000.0):
+    """Sinusoidal timestep embedding, [cos | sin] order
+    (reference `libs/uvit.py:26-46` — note cos first)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def patchify(imgs: Array, patch_size: int) -> Array:
+    """[B, H, W, C] -> [B, (H/p)*(W/p), p*p*C].
+
+    Feature order within a token is (p1, p2, C), matching the reference's
+    ``B C (h p1) (w p2) -> B (h w) (p1 p2 C)`` (libs/uvit.py:49-53) so
+    converted torch weights line up.
+    """
+    b, h, w, c = imgs.shape
+    p = patch_size
+    x = imgs.reshape(b, h // p, p, w // p, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, h, w, p1, p2, C
+    return x.reshape(b, (h // p) * (w // p), p * p * c)
+
+
+def unpatchify(x: Array, channels: int) -> Array:
+    """[B, L, p*p*C] -> [B, H, W, C] (inverse of :func:`patchify`)."""
+    b, l, d = x.shape
+    p = int(round((d // channels) ** 0.5))
+    hw = int(round(l**0.5))
+    assert hw * hw == l and p * p * channels == d, (x.shape, channels)
+    x = x.reshape(b, hw, hw, p, p, channels)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, hw * p, hw * p, channels)
+
+
+dense_init = nn.initializers.truncated_normal(stddev=0.02)  # timm trunc_normal_
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (reference `libs/timm.py:96-112`)."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=dense_init,
+                     name="fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dense(out_dim, dtype=self.dtype, kernel_init=dense_init,
+                     name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused QKV and optional p2p edit
+    (reference `libs/uvit.py:66-118`, `libs/uvit_t2i.py:67-128`)."""
+
+    num_heads: int
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        t: Optional[Array] = None,
+        attn_edit: Optional[AttnEdit] = None,
+        block_id: int = 0,
+        capture_probs: bool = False,
+    ):
+        b, l, c = x.shape
+        h = self.num_heads
+        d = c // h
+        scale = self.qk_scale or d**-0.5
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=dense_init, name="qkv")(x)
+        qkv = qkv.reshape(b, l, 3, h, d).transpose(2, 0, 3, 1, 4)  # 3,B,H,L,D
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        col_mult = None
+        if attn_edit is not None:
+            col_mult = attn_edit.effective_mult(
+                t if t is not None else jnp.float32(0.0), block_id
+            )
+
+        probs = None
+        if capture_probs:
+            out, probs = multi_head_attention(
+                q, k, v, scale=scale, col_mult=col_mult, return_probs=True
+            )
+        else:
+            out = multi_head_attention(
+                q, k, v, scale=scale, impl=self.attn_impl, col_mult=col_mult
+            )
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, c)
+        out = nn.Dense(c, dtype=self.dtype, kernel_init=dense_init,
+                       name="proj")(out)
+        if capture_probs:
+            return out, probs
+        return out
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with optional long-skip fusion
+    (reference `libs/uvit.py:121-162`)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    skip: bool = False
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        skip: Optional[Array] = None,
+        t: Optional[Array] = None,
+        attn_edit: Optional[AttnEdit] = None,
+        block_id: int = 0,
+        capture_probs: bool = False,
+    ):
+        c = x.shape[-1]
+        if self.skip:
+            x = nn.Dense(c, dtype=self.dtype, kernel_init=dense_init,
+                         name="skip_linear")(
+                jnp.concatenate([x, skip], axis=-1)
+            )
+        attn = Attention(
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="attn",
+        )
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
+        probs = None
+        if capture_probs:
+            a, probs = attn(h, t=t, attn_edit=attn_edit, block_id=block_id,
+                            capture_probs=True)
+        else:
+            a = attn(h, t=t, attn_edit=attn_edit, block_id=block_id)
+        x = x + a
+        x = x + Mlp(hidden_dim=int(c * self.mlp_ratio), dtype=self.dtype,
+                    name="mlp")(
+            nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
+        )
+        if capture_probs:
+            return x, probs
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Patchifying conv embed (reference `libs/uvit.py:165-179`)."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        p = self.patch_size
+        assert h % p == 0 and w % p == 0, (x.shape, p)
+        x = nn.Conv(
+            self.embed_dim, kernel_size=(p, p), strides=(p, p),
+            dtype=self.dtype, name="proj",
+        )(x)
+        return x.reshape(b, (h // p) * (w // p), self.embed_dim)

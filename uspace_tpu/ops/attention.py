@@ -1,0 +1,316 @@
+"""Multi-head attention for U-ViT denoisers: Pallas TPU kernel + XLA path.
+
+This is the TPU-native replacement for the reference's attention dispatch
+(`/root/reference/libs/uvit.py:13-23,86-118`: torch SDPA flash / xformers /
+math). Design points:
+
+- Sequence lengths in this model family are small and static (257 tokens
+  uncond, 334 T2I — `tools/utils_t2i.py:20-22`), so the optimal TPU kernel
+  is a *fully fused* attention: one Pallas program per (batch, head) keeps
+  Q, K, V and the LxL score matrix entirely in VMEM, eliminating the HBM
+  round-trip of the [B, H, L, L] probability tensor that an unfused XLA
+  graph would materialize. A custom VJP provides a matching fused backward.
+- Longer sequences fall back to a blocked online-softmax (flash) variant of
+  the same kernel, tiled over keys.
+- **Attention editing** (prompt-to-prompt column rescale,
+  `tools/utils_t2i.py:196-224`): the reference multiplies *post-softmax*
+  probability columns by a per-token multiplier without renormalizing
+  (`attn.softmax(dim=-1)` then column scale, `libs/uvit_t2i.py:101-103`).
+  Since out_i = sum_j p_ij * m_j * v_j, this is *exactly* equivalent to
+  scaling V rows by m before standard attention — so edited sampling keeps
+  the fast fused kernel instead of forcing math attention like the
+  reference does. Probability *readout* (attention-map visualization) uses
+  the XLA math path with ``return_probs=True``.
+
+Layout: q, k, v are ``[B, H, L, D]`` (head dim last, lane-friendly).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU builds; keep importable on CPU
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+Array = jax.Array
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path (math attention) — also the probability-readout path
+# ---------------------------------------------------------------------------
+
+
+def xla_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: float,
+    return_probs: bool = False,
+):
+    """softmax(q k^T * scale) v with f32 softmax accumulation."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    if return_probs:
+        return out, p
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernels (full-L resident in VMEM; L <= ~1024)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
+    q = q_ref[0, 0].astype(jnp.float32)  # [Lp, D]
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [Lp, Lp]
+    lp = s.shape[-1]
+    if seq_len < lp:  # mask padded key columns
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) / l
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float, seq_len: int
+):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    lp = s.shape[-1]
+    if seq_len < lp:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / l  # [Lp, Lp]
+    # dV = P^T dO
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dP = dO V^T ; dS = P * (dP - rowsum(P * dP))
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _pad_seq(x: Array, lp: int) -> Array:
+    pad = lp - x.shape[2]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+
+def _fused_call(kernel, q, k, v, extra_inputs, out_shapes, interpret):
+    b, h, lp, d = q.shape
+    spec = pl.BlockSpec(
+        (1, 1, lp, d), lambda i, j: (i, j, 0, 0),
+        memory_space=pltpu.VMEM if (_HAS_PLTPU and not interpret) else None,
+    )
+    n_in = 3 + len(extra_inputs)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h),
+        in_specs=[spec] * n_in,
+        out_specs=[spec] * len(out_shapes) if len(out_shapes) > 1 else spec,
+        out_shape=out_shapes if len(out_shapes) > 1 else out_shapes[0],
+        interpret=interpret,
+    )(q, k, v, *extra_inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_attention(q, k, v, scale: float, interpret: bool):
+    return _fused_attention_fwd(q, k, v, scale, interpret)[0]
+
+
+def _fused_attention_fwd(q, k, v, scale, interpret):
+    b, h, l, d = q.shape
+    lp = _round_up(l, 128)
+    qp, kp, vp = (_pad_seq(x, lp) for x in (q, k, v))
+    out = _fused_call(
+        functools.partial(_fwd_kernel, scale=scale, seq_len=l),
+        qp, kp, vp, (),
+        [jax.ShapeDtypeStruct((b, h, lp, d), q.dtype)],
+        interpret,
+    )
+    return out[:, :, :l, :], (q, k, v)
+
+
+def _fused_attention_bwd(scale, interpret, res, g):
+    q, k, v = res
+    b, h, l, d = q.shape
+    lp = _round_up(l, 128)
+    qp, kp, vp, gp = (_pad_seq(x, lp) for x in (q, k, v, g))
+    sd = jax.ShapeDtypeStruct((b, h, lp, d), q.dtype)
+    dq, dk, dv = _fused_call(
+        functools.partial(_bwd_kernel, scale=scale, seq_len=l),
+        qp, kp, vp, (gp,),
+        [sd, sd, sd],
+        interpret,
+    )
+    return dq[:, :, :l, :], dk[:, :, :l, :], dv[:, :, :l, :]
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Blocked flash attention (online softmax) for long sequences
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, block_k):
+    q = q_ref[0, 0].astype(jnp.float32)  # [block_q, D]
+    bq, d = q.shape
+    lp = k_ref.shape[1]
+    nk = lp // block_k
+
+    def body(i, carry):
+        o_acc, m_i, l_i = carry
+        kb = k_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, -jnp.inf)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
+        o_new = alpha * o_acc + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return o_new, m_new, l_new
+
+    o0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    o, _, l = jax.lax.fori_loop(0, nk, body, (o0, m0, l0))
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+
+
+def flash_attention_blocked(
+    q, k, v, scale, block_q: int = 256, block_k: int = 256, interpret: bool = False
+):
+    """Tiled flash attention for sequences too long for the fused kernel."""
+    b, h, l, d = q.shape
+    lq = _round_up(l, block_q)
+    lk = _round_up(l, block_k)
+    qp = _pad_seq(q, lq)
+    kp, vp = _pad_seq(k, lk), _pad_seq(v, lk)
+    vmem = pltpu.VMEM if (_HAS_PLTPU and not interpret) else None
+    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda i, j, m: (i, j, m, 0),
+                          memory_space=vmem)
+    kv_spec = pl.BlockSpec((1, 1, lk, d), lambda i, j, m: (i, j, 0, 0),
+                           memory_space=vmem)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, seq_len=l, block_k=block_k
+        ),
+        grid=(b, h, lq // block_q),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :, :l, :]
+
+
+# ---------------------------------------------------------------------------
+# Public dispatcher
+# ---------------------------------------------------------------------------
+
+_FUSED_MAX_LEN = 1024  # beyond this, the LxL tile outgrows VMEM; go blocked
+
+
+def multi_head_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+    col_mult: Optional[Array] = None,
+    return_probs: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Dispatching attention front-end.
+
+    Args:
+      q, k, v: ``[B, H, L, D]``.
+      scale: logit scale; defaults to ``D**-0.5`` (reference
+        `libs/uvit.py:79`).
+      impl: ``auto`` (pallas on TPU, xla elsewhere), ``pallas``, or ``xla``.
+      col_mult: optional ``[B, L]`` per-key post-softmax probability
+        multiplier (prompt-to-prompt rescale). Folded exactly into V.
+      return_probs: also return the ``[B, H, L, L]`` probabilities (XLA math
+        path only — used by attention-map visualization/readout).
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = float(d) ** -0.5
+    if col_mult is not None:
+        # exact rewrite of post-softmax column rescale (see module docstring)
+        v = v * col_mult[:, None, :, None].astype(v.dtype)
+    if return_probs:
+        return xla_attention(q, k, v, scale, return_probs=True)
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "xla":
+        return xla_attention(q, k, v, scale)
+    if impl == "pallas":
+        if interpret is None:
+            interpret = not _on_tpu()
+        if q.shape[2] <= _FUSED_MAX_LEN:
+            return _fused_attention(q, k, v, scale, interpret)
+        return flash_attention_blocked(q, k, v, scale, interpret=interpret)
+    raise ValueError(f"unknown impl {impl!r}")
