@@ -18,7 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize hook calls jax.config.update("jax_platforms",
+# "axon,cpu") in every process, overriding the env var — override it back
+# before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+assert jax.device_count() == 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,202 @@
+"""U-ViT / U-ViT-T2I model tests: shapes, token layout, editing hooks,
+attention parity, capture taps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uspace_tpu.editing.specs import AttnEdit, USpaceEdit, p2p_col_mult
+from uspace_tpu.models import UViT, UViTT2I, get_nnet
+from uspace_tpu.models.layers import patchify, unpatchify, timestep_embedding
+from uspace_tpu.ops.attention import multi_head_attention
+
+
+SMALL = dict(img_size=16, patch_size=2, in_chans=4, embed_dim=64, depth=4,
+             num_heads=4, attn_impl="xla")
+
+
+class TestLayers:
+    def test_patchify_roundtrip(self, rng):
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        p = patchify(x, 2)
+        assert p.shape == (2, 64, 16)
+        np.testing.assert_allclose(unpatchify(p, 4), x)
+
+    def test_patchify_feature_order_matches_reference(self):
+        # reference: B C (h p1) (w p2) -> B (h w) (p1 p2 C)
+        import torch
+        import einops
+
+        x = np.random.default_rng(0).normal(size=(1, 4, 8, 8)).astype(np.float32)
+        ref = einops.rearrange(
+            torch.from_numpy(x), "B C (h p1) (w p2) -> B (h w) (p1 p2 C)",
+            p1=2, p2=2,
+        ).numpy()
+        ours = patchify(jnp.asarray(x.transpose(0, 2, 3, 1)), 2)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+    def test_timestep_embedding_cos_sin_order(self):
+        emb = timestep_embedding(jnp.array([0.0]), 8)
+        # t=0: cos(0)=1 for first half, sin(0)=0 for second half
+        np.testing.assert_allclose(emb[0, :4], 1.0)
+        np.testing.assert_allclose(emb[0, 4:], 0.0)
+
+    def test_attention_pallas_matches_xla(self, rng):
+        q = jax.random.normal(rng, (2, 4, 257, 64)) * 0.2
+        k = jax.random.normal(jax.random.fold_in(rng, 1), q.shape) * 0.2
+        v = jax.random.normal(jax.random.fold_in(rng, 2), q.shape)
+        a = multi_head_attention(q, k, v, impl="xla")
+        b = multi_head_attention(q, k, v, impl="pallas")
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+    def test_attention_grads_match(self, rng):
+        q = jax.random.normal(rng, (1, 2, 130, 32)) * 0.3
+        k = jax.random.normal(jax.random.fold_in(rng, 1), q.shape) * 0.3
+        v = jax.random.normal(jax.random.fold_in(rng, 2), q.shape)
+
+        def loss(impl):
+            return lambda qkv: (
+                multi_head_attention(*qkv, impl=impl) ** 2
+            ).sum()
+
+        g_x = jax.grad(loss("xla"))((q, k, v))
+        g_p = jax.grad(loss("pallas"))((q, k, v))
+        for a, b in zip(g_x, g_p):
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
+
+class TestUViT:
+    def test_uncond_forward(self, rng):
+        m = UViT(**SMALL)
+        x = jnp.ones((2, 16, 16, 4))
+        t = jnp.full((2,), 0.5)
+        params = m.init(rng, x, t)
+        v, taps = m.apply(params, x, t)
+        assert v.shape == x.shape
+        assert taps == {}
+
+    def test_class_cond_forward(self, rng):
+        m = UViT(num_classes=10, **SMALL)
+        x = jnp.ones((2, 16, 16, 4))
+        t = jnp.full((2,), 0.5)
+        y = jnp.array([1, 7])
+        params = m.init(rng, x, t, y)
+        v, _ = m.apply(params, x, t, y)
+        assert v.shape == x.shape
+        # labels must matter
+        v2, _ = m.apply(params, x, t, jnp.array([2, 3]))
+        assert float(jnp.abs(v - v2).max()) > 1e-6
+
+    def test_cond_requires_labels(self, rng):
+        m = UViT(num_classes=10, **SMALL)
+        with pytest.raises(ValueError):
+            m.init(rng, jnp.ones((1, 16, 16, 4)), jnp.ones((1,)))
+
+    def test_capture_and_edit_head(self, rng):
+        m = UViT(**SMALL)
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        t = jnp.full((2,), 0.3)
+        params = m.init(rng, x, t)
+        v0, taps = m.apply(params, x, t, capture=("head", "mid", "tail"))
+        assert taps["head"].shape == x.shape
+        assert taps["mid"].shape == (2, 65, 64)  # 1 time + 64 patches
+        assert taps["tail"].shape == v0.shape
+        # head edit shifts the output; gated-off edit does not
+        edit = USpaceEdit(
+            delta_grid=jnp.ones((101, 16, 16, 4)), scale=jnp.float32(0.5),
+            loc="head", t_edit=1.0,
+        )
+        v1, _ = m.apply(params, x, t, edit=edit)
+        assert float(jnp.abs(v1 - v0).max()) > 1e-6
+        edit_off = edit.replace(t_edit=0.1)
+        v2, _ = m.apply(params, x, t, edit=edit_off)
+        np.testing.assert_allclose(v2, v0, atol=1e-6)
+
+    def test_mid_edit_token_space(self, rng):
+        m = UViT(**SMALL)
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        t = jnp.full((2,), 0.3)
+        params = m.init(rng, x, t)
+        v0, _ = m.apply(params, x, t)
+        edit = USpaceEdit(
+            delta_grid=jnp.ones((101, 65, 64)), scale=jnp.float32(0.5), loc="mid"
+        )
+        v1, _ = m.apply(params, x, t, edit=edit)
+        assert float(jnp.abs(v1 - v0).max()) > 1e-6
+
+    def test_remat_matches(self, rng):
+        x = jax.random.normal(rng, (1, 16, 16, 4))
+        t = jnp.full((1,), 0.5)
+        m1 = UViT(**SMALL)
+        m2 = UViT(use_checkpoint=True, **SMALL)
+        params = m1.init(rng, x, t)
+        v1, _ = m1.apply(params, x, t)
+        v2, _ = m2.apply(params, x, t)
+        np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+    def test_registry(self):
+        m = get_nnet("uvit", **SMALL)
+        assert isinstance(m, UViT)
+        with pytest.raises(NotImplementedError):
+            get_nnet("nope")
+
+
+class TestUViTT2I:
+    def _mk(self, rng, **kw):
+        m = UViTT2I(clip_dim=32, num_clip_token=7, **SMALL, **kw)
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        t = jnp.full((2,), 0.4)
+        ctx = jax.random.normal(jax.random.fold_in(rng, 3), (2, 7, 32))
+        params = m.init(rng, x, t, ctx)
+        return m, params, x, t, ctx
+
+    def test_forward_and_context_matters(self, rng):
+        m, params, x, t, ctx = self._mk(rng)
+        v, taps = m.apply(params, x, t, ctx)
+        assert v.shape == x.shape
+        v2, _ = m.apply(params, x, t, ctx + 1.0)
+        assert float(jnp.abs(v - v2).max()) > 1e-6
+
+    def test_token_count(self, rng):
+        m, params, x, t, ctx = self._mk(rng)
+        _, taps = m.apply(params, x, t, ctx, capture=("mid",))
+        # 1 time + 7 context + 64 patches = 72 tokens
+        assert taps["mid"].shape == (2, 72, 64)
+
+    def test_attn_capture_shape(self, rng):
+        m, params, x, t, ctx = self._mk(rng)
+        _, taps = m.apply(params, x, t, ctx, capture_attn=(0, 2))
+        assert set(taps) == {"attn_0", "attn_2"}
+        assert taps["attn_0"].shape == (2, 4, 72, 72)
+        s = taps["attn_0"].sum(-1)
+        np.testing.assert_allclose(s, 1.0, rtol=1e-4)
+
+    def test_p2p_edit_equals_materialized_column_scale(self, rng):
+        """Folding the p2p multiplier into V must equal the reference's
+        post-softmax column rescale, end to end through a block."""
+        m, params, x, t, ctx = self._mk(rng)
+        ids = jnp.array([[1, 3, -1], [2, -1, -1]])
+        mult = p2p_col_mult(2, 72, ids, 4.0, time_tokens=1)
+        edit = AttnEdit(col_mult=mult, t_edit=1.0)
+        v_edit, _ = m.apply(params, x, t, ctx, attn_edit=edit)
+        v_plain, _ = m.apply(params, x, t, ctx)
+        assert float(jnp.abs(v_edit - v_plain).max()) > 1e-6
+        # gate off by t_edit below current t
+        edit_off = AttnEdit(col_mult=mult, t_edit=0.1)
+        v_off, _ = m.apply(params, x, t, ctx, attn_edit=edit_off)
+        np.testing.assert_allclose(v_off, v_plain, atol=1e-6)
+
+    def test_p2p_block_gating(self, rng):
+        m, params, x, t, ctx = self._mk(rng)
+        ids = jnp.array([[1, -1, -1], [2, -1, -1]])
+        mult = p2p_col_mult(2, 72, ids, 3.0)
+        all_blocks = AttnEdit(col_mult=mult, t_edit=1.0, block_ids=None)
+        one_block = AttnEdit(col_mult=mult, t_edit=1.0, block_ids=(0,))
+        no_block = AttnEdit(col_mult=mult, t_edit=1.0, block_ids=(99,))
+        va, _ = m.apply(params, x, t, ctx, attn_edit=all_blocks)
+        vo, _ = m.apply(params, x, t, ctx, attn_edit=one_block)
+        vn, _ = m.apply(params, x, t, ctx, attn_edit=no_block)
+        vp, _ = m.apply(params, x, t, ctx)
+        np.testing.assert_allclose(vn, vp, atol=1e-6)
+        assert float(jnp.abs(va - vp).max()) > float(jnp.abs(vo - vp).max()) > 1e-7

@@ -1,0 +1,127 @@
+"""Training-step tests: optimization sanity, EMA, moments sampling, and
+multi-device sharding (dp/fsdp/tp over the 8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uspace_tpu.models import UViT
+from uspace_tpu.parallel import mesh as meshlib
+from uspace_tpu.train.state import TrainState, ema_update, get_lr_schedule, get_optimizer
+from uspace_tpu.train.step import make_sample_fn, make_train_step, sample_from_moments
+
+
+def _setup(num_classes=-1, **kw):
+    model = UViT(img_size=8, patch_size=2, in_chans=4, embed_dim=32, depth=2,
+                 num_heads=4, num_classes=num_classes, attn_impl="xla", **kw)
+    x = jnp.ones((4, 8, 8, 4))
+    t = jnp.zeros((4,))
+    args = (x, t) if num_classes <= 0 else (x, t, jnp.zeros((4,), jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    lr = get_lr_schedule("customized", 1e-3, warmup_steps=5)
+    tx = get_optimizer("adam", lr, weight_decay=0.0)
+    state = TrainState.create(params, tx)
+    return model, tx, state, lr
+
+
+class TestTrainStep:
+    def test_loss_decreases_overfit(self, rng):
+        model, tx, state, lr = _setup()
+        step = jax.jit(make_train_step(model, tx, lr_schedule=lr))
+        batch = {"x": jax.random.normal(rng, (4, 8, 8, 4))}
+        losses = []
+        for _ in range(30):
+            state, m = step(state, batch, rng)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], losses[:3] + losses[-3:]
+        assert int(state.step) == 30
+        assert np.isfinite(losses).all()
+
+    def test_warmup_lr(self):
+        lr = get_lr_schedule("customized", 1e-3, warmup_steps=10)
+        assert float(lr(0)) == 0.0
+        np.testing.assert_allclose(float(lr(5)), 5e-4)
+        np.testing.assert_allclose(float(lr(100)), 1e-3)
+
+    def test_ema_moves_toward_params(self):
+        p = {"w": jnp.ones((3,))}
+        e = {"w": jnp.zeros((3,))}
+        out = ema_update(p, e, rate=0.9)
+        np.testing.assert_allclose(out["w"], 0.1)
+
+    def test_class_conditional_step(self, rng):
+        model, tx, state, lr = _setup(num_classes=5)
+        step = jax.jit(make_train_step(model, tx))
+        batch = {"x": jnp.ones((4, 8, 8, 4)), "y": jnp.array([0, 1, 2, 3])}
+        state, m = step(state, batch, rng)
+        assert np.isfinite(float(m["loss"]))
+
+    def test_moments_resampling(self, rng):
+        mean = jnp.ones((2, 4, 4, 4))
+        logvar = jnp.full((2, 4, 4, 4), -30.0)  # ~zero std
+        moments = jnp.concatenate([mean, logvar], axis=-1)
+        z = sample_from_moments(moments, rng, scale_factor=0.5)
+        np.testing.assert_allclose(z, 0.5, atol=1e-4)
+        # nonzero variance -> different draws
+        moments = jnp.concatenate([mean, jnp.zeros_like(logvar)], axis=-1)
+        z1 = sample_from_moments(moments, jax.random.PRNGKey(1))
+        z2 = sample_from_moments(moments, jax.random.PRNGKey(2))
+        assert float(jnp.abs(z1 - z2).max()) > 1e-3
+
+    def test_sample_fn_shapes(self, rng):
+        model, tx, state, lr = _setup()
+        sample_fn = make_sample_fn(model, (8, 8, 4), sample_steps=5)
+        out = sample_fn(state.ema_params, rng, 2)
+        assert out.shape == (2, 8, 8, 4)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMeshSharding:
+    def test_mesh_axes(self):
+        m = meshlib.create_mesh(dp=2, fsdp=2, tp=2)
+        assert m.axis_names == ("dp", "fsdp", "tp")
+        assert m.devices.shape == (2, 2, 2)
+
+    def test_tp_param_layout(self):
+        model, tx, state, lr = _setup()
+        m = meshlib.create_mesh(dp=2, fsdp=1, tp=4)
+        sh = meshlib.params_shardings(state.params, m)
+        flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+        by_path = {"/".join(str(getattr(k, "key", k)) for k in kp): v
+                   for kp, v in flat}
+        qkv = [v for p, v in by_path.items() if p.endswith("qkv/kernel")]
+        assert qkv and all(v.spec == jax.sharding.PartitionSpec(None, "tp")
+                           for v in qkv)
+        proj = [v for p, v in by_path.items() if p.endswith("attn/proj/kernel")]
+        assert proj and all(v.spec == jax.sharding.PartitionSpec("tp", None)
+                            for v in proj)
+
+    def test_sharded_train_step_matches_single_device(self, rng):
+        """dp=2 x fsdp=2 x tp=2 sharded step must produce the same loss and
+        (numerically close) parameters as the unsharded step."""
+        model, tx, state, lr = _setup()
+        batch = {"x": jax.random.normal(rng, (8, 8, 8, 4))}
+        step_fn = make_train_step(model, tx)
+
+        # single device
+        s1, m1 = jax.jit(step_fn)(state, batch, rng)
+
+        # sharded
+        mesh = meshlib.create_mesh(dp=2, fsdp=2, tp=2)
+        st_sh = meshlib.state_shardings(state, mesh)
+        b_sh = {"x": meshlib.batch_sharding(mesh)}
+        state_p = jax.device_put(state, st_sh)
+        batch_p = jax.device_put(batch, b_sh)
+        step_sharded = jax.jit(
+            step_fn,
+            in_shardings=(st_sh, b_sh, meshlib.replicated(mesh)),
+            out_shardings=(st_sh, meshlib.replicated(mesh)),
+        )
+        s2, m2 = step_sharded(state_p, batch_p, jax.device_put(rng, meshlib.replicated(mesh)))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        l1 = jax.tree.leaves(s1.params)
+        l2 = jax.tree.leaves(s2.params)
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)

@@ -1,0 +1,200 @@
+"""PyTorch checkpoint -> Flax parameter conversion.
+
+The reference ships torch weights: the SD VAE (``autoencoder_kl.pth``),
+CLIP text encoder (HF hub), U-ViT pretrained checkpoints
+(``imagenet256_uvit_huge.pth`` etc.) and trained TrainState components
+(`tools/utils_uvit.py:124-139`). These converters map torch state dicts
+onto this package's Flax modules:
+
+- Conv2d  NCHW ``[O, I, kh, kw]`` -> HWIO ``[kh, kw, I, O]`` kernels
+  (activations here are NHWC).
+- Linear  ``[O, I]`` -> ``[I, O]``.
+- Norm ``weight`` -> ``scale``.
+- Embedding ``weight`` -> ``embedding``.
+
+Weight-surgery loaders (drop label/pos embeddings when transferring
+across datasets — utils_uvit.py:140-166) are implemented as key filters.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _to_numpy(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _nest(flat: Dict[Tuple[str, ...], np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for path, value in flat.items():
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+    return tree
+
+
+_NORM_HINTS = ("norm", "ln_", "layernorm", "gn")
+
+
+def _leaf(torch_key: str, arr: np.ndarray, is_embedding: bool = False
+          ) -> Tuple[str, np.ndarray]:
+    """Map a torch leaf tensor to (flax_leaf_name, converted_array)."""
+    name = torch_key.rsplit(".", 1)[-1]
+    if name == "bias":
+        return "bias", arr
+    if name != "weight":
+        return name, arr  # e.g. raw Parameters like pos_embed
+    if is_embedding:
+        return "embedding", arr
+    if arr.ndim == 4:
+        return "kernel", arr.transpose(2, 3, 1, 0)
+    if arr.ndim == 2:
+        return "kernel", arr.T
+    # 1-D weight: norm scale
+    return "scale", arr
+
+
+def convert_state_dict(
+    state_dict: Dict[str, Any],
+    key_map: Callable[[str], Optional[Tuple[str, ...]]],
+    embedding_keys: Sequence[str] = (),
+) -> Dict[str, Any]:
+    """Generic conversion: ``key_map`` maps a torch module path (without
+    the trailing .weight/.bias) to a flax param path tuple, or None to
+    drop the tensor."""
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    for tkey, tval in state_dict.items():
+        arr = _to_numpy(tval)
+        mod_path, _, leaf_name = tkey.rpartition(".")
+        if leaf_name in ("weight", "bias"):
+            base = mod_path
+        else:  # bare parameter (e.g. pos_embed)
+            base = tkey
+        fpath = key_map(base)
+        if fpath is None:
+            continue
+        is_emb = any(base.endswith(e) for e in embedding_keys)
+        lname, conv = _leaf(tkey, arr, is_embedding=is_emb)
+        if leaf_name in ("weight", "bias"):
+            flat[tuple(fpath) + (lname,)] = conv
+        else:
+            flat[tuple(fpath)] = conv
+    return _nest(flat)
+
+
+# ---------------------------------------------------------------------------
+# SD VAE (libs/autoencoder.py -> codecs/vae.py)
+# ---------------------------------------------------------------------------
+
+
+def _vae_key_map(base: str) -> Optional[Tuple[str, ...]]:
+    # flatten torch's nested module lists into this package's flat names:
+    # encoder.down.0.block.1.conv1 -> encoder/down_0_block_1/conv1
+    b = base
+    b = re.sub(r"\bdown\.(\d+)\.block\.(\d+)", r"down_\1_block_\2", b)
+    b = re.sub(r"\bdown\.(\d+)\.attn\.(\d+)", r"down_\1_attn_\2", b)
+    b = re.sub(r"\bdown\.(\d+)\.downsample", r"down_\1_downsample", b)
+    b = re.sub(r"\bup\.(\d+)\.block\.(\d+)", r"up_\1_block_\2", b)
+    b = re.sub(r"\bup\.(\d+)\.attn\.(\d+)", r"up_\1_attn_\2", b)
+    b = re.sub(r"\bup\.(\d+)\.upsample", r"up_\1_upsample", b)
+    b = b.replace("mid.block_1", "mid_block_1")
+    b = b.replace("mid.block_2", "mid_block_2")
+    b = b.replace("mid.attn_1", "mid_attn_1")
+    return tuple(b.split("."))
+
+
+def vae_torch_to_flax(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert the reference ``autoencoder_kl.pth`` state dict to params
+    for :class:`uspace_tpu.codecs.vae.AutoencoderKL` (wrap as
+    ``{"params": result}`` for ``.apply``)."""
+    return convert_state_dict(state_dict, _vae_key_map)
+
+
+# ---------------------------------------------------------------------------
+# U-ViT / U-ViT-T2I (libs/uvit.py, libs/uvit_t2i.py -> models/)
+# ---------------------------------------------------------------------------
+
+
+def _uvit_key_map(base: str) -> Optional[Tuple[str, ...]]:
+    b = base
+    b = re.sub(r"\bin_blocks\.(\d+)", r"in_blocks_\1", b)
+    b = re.sub(r"\bout_blocks\.(\d+)", r"out_blocks_\1", b)
+    # mlp_time_embed Sequential: time_embed.0 / time_embed.2
+    b = b.replace("time_embed.0", "time_embed_fc1")
+    b = b.replace("time_embed.2", "time_embed_fc2")
+    return tuple(b.split("."))
+
+
+def uvit_torch_to_flax(
+    state_dict: Dict[str, Any],
+    drop: Iterable[str] = (),
+) -> Dict[str, Any]:
+    """Convert a torch U-ViT / U-ViT-T2I checkpoint.
+
+    ``drop`` lists key prefixes to discard — the reference's weight
+    surgery: ``load_nnet_only`` drops label_emb+pos_embed,
+    ``load_nnet_mscoco_or_in256`` drops pos_embed (utils_uvit.py:140-166).
+    """
+    drop = tuple(drop)
+
+    def key_map(base: str):
+        if any(base.startswith(d) for d in drop):
+            return None
+        return _uvit_key_map(base)
+
+    return convert_state_dict(state_dict, key_map,
+                              embedding_keys=("label_emb",))
+
+
+def merge_params(converted: Dict[str, Any], initialized: Dict[str, Any]
+                 ) -> Dict[str, Any]:
+    """Overlay converted weights onto a freshly initialized param tree,
+    keeping initialized values for keys the conversion dropped (the
+    weight-surgery pattern: new pos_embed/label_emb, pretrained rest).
+    Raises on shape mismatch."""
+    import jax
+
+    def merge(a: Dict[str, Any], b: Dict[str, Any], prefix=""):
+        out = {}
+        for k, bv in b.items():
+            if k in a:
+                av = a[k]
+                if isinstance(bv, dict):
+                    out[k] = merge(av, bv, prefix + k + "/")
+                else:
+                    if tuple(np.shape(av)) != tuple(np.shape(bv)):
+                        raise ValueError(
+                            f"shape mismatch at {prefix + k}: "
+                            f"{np.shape(av)} vs {np.shape(bv)}"
+                        )
+                    out[k] = np.asarray(av, dtype=np.asarray(bv).dtype)
+            else:
+                out[k] = bv
+        return out
+
+    return merge(converted, initialized)
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a .pth state dict without requiring CUDA. Strips common
+    prefixes (``model.diffusion_model.`` for SD LDM UNet checkpoints —
+    utils_uvit.py:168-209; ``module.`` for DDP)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    out = {}
+    for k, v in sd.items():
+        for pref in ("model.diffusion_model.", "module."):
+            if k.startswith(pref):
+                k = k[len(pref):]
+        out[k] = v
+    return out

@@ -1,0 +1,142 @@
+"""Device mesh and sharding layout.
+
+The reference scales out with data-parallel DDP only (HF accelerate /
+NCCL, `/root/reference/train_lfm.py:29,78-83`). The TPU-native design is a
+single ``jax.sharding.Mesh`` with three axes:
+
+- ``dp``   — pure data parallelism (batch sharding; gradient psum is
+             compiled into the step by GSPMD),
+- ``fsdp`` — batch sharding *and* parameter/optimizer-state sharding
+             (ZeRO-style; params gather on use),
+- ``tp``   — tensor parallelism over attention heads / MLP hidden dim
+             (Megatron layout via GSPMD sharding propagation).
+
+Shardings are expressed as ``NamedSharding`` trees over the parameter
+pytree; collectives ride ICI, inserted by XLA. The reference's explicit
+collectives map as: DDP grad all-reduce -> psum compiled into jit; loss
+``gather`` -> replicated loss output; sample gather -> process_allgather
+(evals/sampling.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+AXES = ("dp", "fsdp", "tp")
+
+
+def create_mesh(
+    dp: Optional[int] = None, fsdp: int = 1, tp: int = 1, devices=None
+) -> Mesh:
+    """Build a [dp, fsdp, tp] mesh; dp defaults to all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        assert n % (fsdp * tp) == 0, (n, fsdp, tp)
+        dp = n // (fsdp * tp)
+    assert dp * fsdp * tp == n, (dp, fsdp, tp, n)
+    dev_array = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(dev_array, AXES)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the batch axis over dp x fsdp; replicate over tp."""
+    return NamedSharding(mesh, P(("dp", "fsdp")))
+
+
+def batch_pspec() -> P:
+    return P(("dp", "fsdp"))
+
+
+# --- parameter layout -------------------------------------------------------
+
+# Megatron-style TP rules for the transformer blocks: column-parallel into
+# attention/MLP, row-parallel out. Matched against the flax param path.
+_TP_RULES = (
+    (r"attn/qkv/kernel$", (None, "tp")),
+    (r"attn/qkv/bias$", ("tp",)),
+    (r"attn/proj/kernel$", ("tp", None)),
+    (r"mlp/fc1/kernel$", (None, "tp")),
+    (r"mlp/fc1/bias$", ("tp",)),
+    (r"mlp/fc2/kernel$", ("tp", None)),
+)
+
+
+def _spec_for(path: str, shape, mesh: Mesh) -> P:
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    tp, fsdp = axis_sizes.get("tp", 1), axis_sizes.get("fsdp", 1)
+    spec = [None] * len(shape)
+    if tp > 1:
+        for pat, rule in _TP_RULES:
+            if re.search(pat, path):
+                for i, ax in enumerate(rule):
+                    if ax is not None and shape[i] % tp == 0:
+                        spec[i] = ax
+                break
+    if fsdp > 1:
+        # ZeRO-shard the largest still-unsharded axis that divides evenly
+        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for i in order:
+            if spec[i] is None and shape[i] % fsdp == 0 and shape[i] >= fsdp:
+                spec[i] = "fsdp"
+                break
+    return P(*spec)
+
+
+def params_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding tree for a parameter pytree (TP + FSDP layout)."""
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
+        )
+
+    specs = {path_str(kp): _spec_for(path_str(kp), v.shape, mesh)
+             for kp, v in flat}
+
+    def assign(kp, v):
+        return NamedSharding(mesh, specs[path_str(kp)])
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def state_shardings(state: Any, mesh: Mesh) -> Any:
+    """Shardings for a full TrainState: params/ema/opt-state follow the
+    parameter layout (optimizer moments mirror their parameter); scalars
+    replicated."""
+
+    p_sh = params_shardings(state.params, mesh)
+
+    def like_params(subtree):
+        # optimizer states contain param-shaped moments plus scalars
+        def pick(path, leaf):
+            if hasattr(leaf, "shape") and leaf.ndim > 0:
+                return NamedSharding(
+                    mesh, _spec_for(_path_str(path), leaf.shape, mesh)
+                )
+            return replicated(mesh)
+
+        return jax.tree_util.tree_map_with_path(pick, subtree)
+
+    def _path_str(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    return type(state)(
+        step=replicated(mesh),
+        params=p_sh,
+        ema_params=jax.tree.map(lambda s: s, p_sh),
+        opt_state=like_params(state.opt_state),
+    )

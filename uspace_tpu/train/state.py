@@ -1,0 +1,94 @@
+"""Train state, optimizer/LR factories, EMA.
+
+Counterpart of the reference's TrainState + factories
+(`/root/reference/tools/utils_uvit.py:50-139`): a single pytree holding
+step / params / EMA params / optimizer state, so checkpointing is one
+orbax save and the EMA update is a fused on-device lerp inside the jitted
+train step (the reference loops over parameters on host, utils_uvit.py:
+104-109).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+Array = jax.Array
+
+
+def get_lr_schedule(name: str = "customized", base_lr: float = 1e-4,
+                    warmup_steps: int = 0, total_steps: int = 1_000_000):
+    """LR schedules: 'customized' = linear warmup then constant
+    (utils_uvit.py:81-90); 'cosine' = cosine annealing (:96-99)."""
+    if name == "customized":
+        if warmup_steps and warmup_steps > 0:
+            return lambda step: base_lr * jnp.minimum(step / warmup_steps, 1.0)
+        return lambda step: jnp.full_like(jnp.asarray(step, jnp.float32), base_lr)
+    if name == "cosine":
+        return optax.cosine_decay_schedule(base_lr, decay_steps=total_steps)
+    raise NotImplementedError(name)
+
+
+def get_optimizer(
+    name: str = "adam",
+    lr_schedule: Callable = None,
+    betas=(0.9, 0.999),
+    weight_decay: float = 0.0,
+    grad_clip: Optional[float] = None,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Optimizers matching the reference (utils_uvit.py:50-78):
+
+    - "adam": torch.optim.Adam semantics — L2 weight decay folded into the
+      gradient *before* the moment updates (not decoupled).
+    - "adamw": decoupled weight decay.
+
+    (The reference's x10-LR "vspace" param group belongs to a dead
+    experimental module — `libs/sd/openaimodel.py:433-461` V_Space — and is
+    intentionally not replicated.)
+    """
+    b1, b2 = betas
+    chain = []
+    if grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    if name == "adam":
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    elif name == "adamw":
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+    else:
+        raise NotImplementedError(name)
+    chain.append(optax.scale_by_learning_rate(lr_schedule or 1e-4))
+    return optax.chain(*chain)
+
+
+class TrainState(struct.PyTreeNode):
+    """All mutable training state as one pytree (orbax-checkpointable)."""
+
+    step: Array
+    params: Any
+    ema_params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            ema_params=jax.tree.map(lambda x: x, params),
+            opt_state=tx.init(params),
+        )
+
+
+def ema_update(params, ema_params, rate: float = 0.9999):
+    """ema <- rate * ema + (1 - rate) * params (utils_uvit.py:104-109)."""
+    return jax.tree.map(
+        lambda e, p: e * rate + (1.0 - rate) * p, ema_params, params
+    )

@@ -1,0 +1,133 @@
+"""Jitted training / EMA / sampling steps.
+
+The reference's hot loop (`/root/reference/train_lfm.py:154-183`) does,
+per step: sample latents from stored VAE moments, CFM loss, DDP backward,
+Adam step, EMA lerp — five host round trips. Here the whole thing is ONE
+jitted, buffer-donated function compiled over the device mesh; gradient
+reduction across ``dp``/``fsdp`` is a psum GSPMD inserts automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core import flow, interpolant
+from .state import TrainState, ema_update
+
+Array = jax.Array
+
+
+def make_velocity_fn(model, params, cond: Dict[str, Any],
+                     **apply_kwargs) -> Callable:
+    """Close a flax denoiser over params + conditioning.
+
+    cond may contain 'y' (class labels) or 'context' (CLIP embeddings);
+    extra apply kwargs (edit=, attn_edit=, capture=) pass through.
+    Returns vf(t_batch, x) -> velocity (plus taps if capture requested).
+    """
+    want_aux = bool(apply_kwargs.get("capture") or apply_kwargs.get("capture_attn"))
+
+    def vf(t, x):
+        if "context" in cond and cond["context"] is not None:
+            out, taps = model.apply(params, x, t, cond["context"], **apply_kwargs)
+        elif "y" in cond and cond["y"] is not None:
+            out, taps = model.apply(params, x, t, cond["y"], **apply_kwargs)
+        else:
+            out, taps = model.apply(params, x, t, **apply_kwargs)
+        return (out, taps) if want_aux else out
+
+    return vf
+
+
+def sample_from_moments(moments: Array, rng: Array,
+                        scale_factor: float = 0.18215) -> Array:
+    """Draw a latent from stored SD-VAE posterior moments [B,H,W,2C]
+    (mean ‖ logvar), times the SD scale factor — the per-step latent
+    resampling the reference does via ``autoencoder.sample``
+    (train_lfm.py:158-161, libs/autoencoder.py:433-439)."""
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+    eps = jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+    return (mean + std * eps) * scale_factor
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    sigma_min: float = 1e-4,
+    ema_rate: float = 0.9999,
+    lr_schedule: Optional[Callable] = None,
+    latents_from_moments: bool = False,
+    vae_scale: float = 0.18215,
+):
+    """Build the jittable train step.
+
+    batch: {'x': latents|moments [B,H,W,C], 'y': labels?|None,
+    'context': clip?|None}. Returns (new_state, metrics).
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, Any], rng: Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        data_rng, loss_rng = jax.random.split(step_rng)
+        x1 = batch["x"]
+        if latents_from_moments:
+            x1 = sample_from_moments(x1, data_rng, vae_scale)
+        cond = {k: batch.get(k) for k in ("y", "context")}
+
+        def loss_fn(params):
+            vf = make_velocity_fn(model, params, cond)
+            per_sample = flow.training_loss(vf, loss_rng, x1, sigma_min)
+            return per_sample.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = ema_update(new_params, state.ema_params, ema_rate)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            ema_params=new_ema,
+            opt_state=new_opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_sample_fn(
+    model,
+    z_shape,
+    sigma_min: float = 1e-4,  # kept for config parity; sampling is sigma-free
+    solver_kwargs: Optional[dict] = None,
+    sample_steps: Optional[int] = None,
+):
+    """Build the jittable sampler: z ~ N(0,I) -> ODE decode -> latents.
+
+    ``sample_steps`` overrides the fixed-step count (reference
+    `config.sample.sample_steps`, e.g. 50-step Euler).
+    """
+    sk = dict(solver_kwargs or {"solver": "fixed", "solver_fix": "euler",
+                                "solver_fix_step": 0.02})
+    if sample_steps is not None:
+        sk["solver"] = "fixed"
+        sk.setdefault("solver_fix", "euler")
+        sk["solver_fix_step"] = 1.0 / sample_steps
+
+    def sample_fn(params, rng, n: int, cond: Optional[Dict[str, Any]] = None,
+                  **apply_kwargs):
+        z = jax.random.normal(rng, (n, *z_shape), dtype=jnp.float32)
+        vf = make_velocity_fn(model, params, cond or {}, **apply_kwargs)
+        return flow.decode(vf, z, solver_kwargs=sk)
+
+    return sample_fn
