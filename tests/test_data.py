@@ -1,0 +1,148 @@
+"""Data layer tests: on-disk format compat (npy tuples, caption dirs, h5),
+CFG wrapper, loader sharding/shuffling/prefetch."""
+
+import os
+
+import numpy as np
+import pytest
+
+from uspace_tpu.data.datasets import (
+    CFGDataset,
+    CaptionFeatureDataset,
+    H5FeatureDataset,
+    NpyFeatureDataset,
+    Synthetic,
+    SyntheticFeatures,
+    get_dataset,
+)
+from uspace_tpu.data.loader import DataLoader
+
+
+@pytest.fixture
+def npy_dir(tmp_path, np_rng):
+    # reference extraction format: pickled (moment, label) tuples, CHW
+    # (scripts/extract_celebamask_feature.py:48)
+    for i in range(10):
+        z = np_rng.normal(size=(8, 4, 4)).astype(np.float32)
+        np.save(tmp_path / f"{i}.npy", np.array((z, 0), dtype=object),
+                allow_pickle=True)
+    return str(tmp_path)
+
+
+@pytest.fixture
+def caption_dir(tmp_path, np_rng):
+    # reference MSCOCOFeatureDataset format
+    for i in range(4):
+        np.save(tmp_path / f"{i}.npy",
+                np_rng.normal(size=(8, 4, 4)).astype(np.float32))
+        for k in range(2):
+            np.save(tmp_path / f"{i}_{k}.npy",
+                    np_rng.normal(size=(7, 16)).astype(np.float32))
+            (tmp_path / f"{i}_{k}_captions.txt").write_text(
+                "caption a\ncaption b\n")
+    return str(tmp_path)
+
+
+class TestFormats:
+    def test_npy_pair(self, npy_dir):
+        ds = NpyFeatureDataset(npy_dir, fmt="pair")
+        assert len(ds) == 10
+        s = ds[3]
+        assert s["x"].shape == (4, 4, 8)  # NHWC conversion
+
+    def test_npy_cond(self, tmp_path, np_rng):
+        z = np_rng.normal(size=(8, 4, 4)).astype(np.float32)
+        seg = np.zeros((4, 4), np.uint8)
+        attr = np.ones((40,), np.int64)
+        np.save(tmp_path / "0.npy", np.array((z, seg, attr), dtype=object),
+                allow_pickle=True)
+        ds = NpyFeatureDataset(str(tmp_path), num=1, fmt="cond")
+        s = ds[0]
+        assert s["x"].shape == (4, 4, 8) and s["attr"].shape == (40,)
+
+    def test_caption_dataset(self, caption_dir):
+        ds = CaptionFeatureDataset(caption_dir, output_caption=True)
+        assert len(ds) == 4
+        s = ds[1]
+        assert s["x"].shape == (4, 4, 8)
+        assert s["context"].shape == (7, 16)
+        assert s["caption"].startswith("caption")
+
+    def test_h5(self, tmp_path, np_rng):
+        import h5py
+
+        p = str(tmp_path / "f.h5")
+        with h5py.File(p, "w") as f:
+            f["train_feat"] = np_rng.normal(size=(6, 8, 4, 4)).astype(np.float32)
+            f["train_attr"] = np.ones((6, 11), np.int64)
+        ds = H5FeatureDataset(p)
+        assert len(ds) == 6
+        s = ds[2]
+        assert s["x"].shape == (4, 4, 8) and s["attr"].shape == (11,)
+
+    def test_cfg_wrapper_context(self, caption_dir):
+        base = CaptionFeatureDataset(caption_dir)
+        empty = np.zeros((7, 16), np.float32)
+        ds = CFGDataset(base, p_uncond=1.0, empty_context=empty)
+        np.testing.assert_allclose(ds[0]["context"], 0.0)
+        ds2 = CFGDataset(base, p_uncond=0.0, empty_context=empty)
+        assert float(np.abs(ds2[0]["context"]).max()) > 0
+
+    def test_cfg_wrapper_label(self):
+        base = SyntheticFeatures(num=4, num_classes=3)
+        ds = CFGDataset(base, p_uncond=1.0, null_label=3)
+        assert ds[0]["y"] == 3
+
+    def test_registry(self, npy_dir):
+        ds = get_dataset("celebamask256_features", path=npy_dir, num=10)
+        assert len(ds.get_split("train")) == 10
+        with pytest.raises(NotImplementedError):
+            get_dataset("nope")
+        syn = get_dataset("synthetic", num=8)
+        assert syn.data_shape == (32, 32, 4)
+
+
+class TestLoader:
+    def test_batching_and_shapes(self, npy_dir):
+        ds = NpyFeatureDataset(npy_dir, fmt="pair")
+        dl = DataLoader(ds, batch_size=4, num_workers=2)
+        batches = list(dl)
+        assert len(batches) == 2  # 10 // 4, drop_last
+        assert batches[0]["x"].shape == (4, 4, 4, 8)
+
+    def test_epoch_shuffling_deterministic(self, npy_dir):
+        ds = NpyFeatureDataset(npy_dir, fmt="pair")
+        dl = DataLoader(ds, batch_size=10, seed=1, num_workers=2)
+        e0a = next(dl.epoch(0))["x"]
+        e0b = next(dl.epoch(0))["x"]
+        e1 = next(dl.epoch(1))["x"]
+        np.testing.assert_allclose(e0a, e0b)
+        assert float(np.abs(e0a - e1).max()) > 0  # different epoch order
+
+    def test_process_sharding_partitions(self, npy_dir):
+        ds = NpyFeatureDataset(npy_dir, fmt="pair")
+        seen = []
+        for pi in range(2):
+            dl = DataLoader(ds, batch_size=5, shuffle=False, num_workers=1,
+                            process_index=pi, process_count=2)
+            for b in dl:
+                seen.append(b["x"])
+        allx = np.concatenate(seen)
+        assert allx.shape[0] == 10
+        # every sample appears exactly once across processes
+        base = np.stack([ds[i]["x"] for i in range(10)])
+        assert np.allclose(np.sort(allx.sum((1, 2, 3))),
+                           np.sort(base.sum((1, 2, 3))))
+
+    def test_infinite_cycles(self):
+        ds = SyntheticFeatures(num=4, shape=(2, 2, 2))
+        dl = DataLoader(ds, batch_size=2, num_workers=1)
+        it = dl.infinite()
+        got = [next(it) for _ in range(5)]  # > one epoch
+        assert all(b["x"].shape == (2, 2, 2, 2) for b in got)
+
+    def test_string_fields_pass_through(self, caption_dir):
+        ds = CaptionFeatureDataset(caption_dir, output_caption=True)
+        dl = DataLoader(ds, batch_size=2, num_workers=1)
+        b = next(iter(dl))
+        assert isinstance(b["caption"], list) and len(b["caption"]) == 2

@@ -1,0 +1,387 @@
+"""Feature/raw dataset registry (TPU-native data layer).
+
+Counterpart of `/root/reference/datasets.py` (factory + registry,
+:63-107, :1113-1158). Same on-disk formats — per-index ``{i}.npy`` VAE
+moments (optionally pickled tuples with segmask/attr/label), MSCOCO-style
+``{i}.npy`` + ``{i}_{k}.npy`` CLIP contexts, bulk h5 — but returning NHWC
+numpy dicts ready for device sharding, and with a working CFG wrapper
+(the reference's raises NotImplementedError, `datasets.py:46-60`).
+
+Samples are dicts: ``x`` (moments or latents, NHWC), optional ``y``
+(int label), ``attr`` (attribute vector), ``context`` ([77, 768] CLIP),
+``caption`` (str).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+Array = np.ndarray
+
+
+def _chw_to_hwc(z: Array) -> Array:
+    if z.ndim == 3:
+        return np.transpose(z, (1, 2, 0))
+    return z
+
+
+class Dataset:
+    """Minimal map-style protocol: __len__ + __getitem__ -> dict."""
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        raise NotImplementedError
+
+
+class NpyFeatureDataset(Dataset):
+    """Directory of per-index ``{i}.npy`` feature files.
+
+    fmt:
+      - "plain":  file is the moments array (MSCOCO image files)
+      - "pair":   pickled (z, z) tuple (CommonFeatureDataset,
+                  reference datasets.py:502-514)
+      - "cond":   pickled (z, segmask, attr) (CM conditional, :517-532)
+      - "labeled": pickled (z, label) (ImageNet FeatureDataset, :173-191)
+    """
+
+    def __init__(self, path: str, num: Optional[int] = None,
+                 fmt: str = "pair"):
+        self.path = path
+        self.fmt = fmt
+        if num is None:
+            num = len([f for f in os.listdir(path)
+                       if f.endswith(".npy") and "_" not in f])
+        self.num = num
+
+    def __len__(self):
+        return self.num
+
+    def __getitem__(self, idx):
+        f = os.path.join(self.path, f"{idx}.npy")
+        if self.fmt == "plain":
+            z = np.load(f)
+            return {"x": _chw_to_hwc(z)}
+        obj = np.load(f, allow_pickle=True)
+        if self.fmt == "pair":
+            z = np.asarray(obj[0], dtype=np.float32)
+            return {"x": _chw_to_hwc(z)}
+        if self.fmt == "cond":
+            z, _segmask, attr = obj
+            return {"x": _chw_to_hwc(z), "attr": np.asarray(attr)}
+        if self.fmt == "labeled":
+            z, label = obj
+            return {"x": _chw_to_hwc(z), "y": np.int32(label)}
+        raise ValueError(self.fmt)
+
+
+class H5FeatureDataset(Dataset):
+    """Bulk h5 features: ``train_feat`` plus optional ``train_label`` /
+    ``train_attr`` (reference datasets.py:416-499)."""
+
+    def __init__(self, path: str, load_in_mem: bool = True,
+                 num: Optional[int] = None):
+        import h5py
+
+        self._f = h5py.File(path, "r")
+        self.feat = self._f["train_feat"]
+        self.label = self._f.get("train_label")
+        self.attr = self._f.get("train_attr")
+        if load_in_mem:
+            self.feat = self.feat[:]
+            self.label = self.label[:] if self.label is not None else None
+            self.attr = self.attr[:] if self.attr is not None else None
+        self.num = num or len(self.feat)
+
+    def __len__(self):
+        return self.num
+
+    def __getitem__(self, idx):
+        out = {"x": _chw_to_hwc(np.copy(self.feat[idx]))}
+        if self.label is not None:
+            out["y"] = np.int32(np.asarray(self.label[idx]).item())
+        if self.attr is not None:
+            out["attr"] = np.copy(self.attr[idx])
+        return out
+
+
+def get_feature_dir_info(root: str) -> Tuple[int, Dict[int, int]]:
+    """Count images and per-image caption files in an MSCOCO-style feature
+    dir (reference datasets.py:950-960)."""
+    files = os.listdir(root)
+    num_data = 0
+    n_captions: Dict[int, int] = {}
+    for name in files:
+        stem, ext = os.path.splitext(name)
+        if ext != ".npy":
+            continue
+        parts = stem.split("_")
+        if len(parts) == 1 and parts[0].isdigit():
+            num_data += 1
+        elif len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit():
+            k = int(parts[0])
+            n_captions[k] = n_captions.get(k, 0) + 1
+    return num_data, n_captions
+
+
+class CaptionFeatureDataset(Dataset):
+    """MSCOCO/MM-CelebA-HQ style: ``{i}.npy`` moments + ``{i}_{k}.npy``
+    CLIP contexts (+ ``{i}_{k}_captions.txt``) — reference
+    datasets.py:963-987. A random caption is drawn per access via the
+    loader-provided rng (host-side data augmentation)."""
+
+    def __init__(self, root: str, output_caption: bool = False,
+                 seed: int = 0):
+        self.root = root
+        self.output_caption = output_caption
+        self.num_data, self.n_captions = get_feature_dir_info(root)
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.num_data
+
+    def __getitem__(self, idx):
+        z = np.load(os.path.join(self.root, f"{idx}.npy"))
+        k = int(self._rng.integers(0, self.n_captions[idx]))
+        c = np.load(os.path.join(self.root, f"{idx}_{k}.npy"))
+        out = {"x": _chw_to_hwc(z), "context": c}
+        if self.output_caption:
+            with open(os.path.join(self.root, f"{idx}_{k}_captions.txt")) as f:
+                caps = [l.strip() for l in f.readlines() if l.strip()]
+            out["caption"] = caps[k] if k < len(caps) else caps[0]
+        return out
+
+
+class CFGDataset(Dataset):
+    """Classifier-free-guidance wrapper: with prob ``p_uncond`` replace
+    the conditioning with the null value (empty CLIP context, or class K
+    as the learned null label). The reference's version raises
+    NotImplementedError (`datasets.py:46-60`); this one works."""
+
+    def __init__(self, dataset: Dataset, p_uncond: float, empty_context=None,
+                 null_label: Optional[int] = None, seed: int = 0):
+        self.dataset = dataset
+        self.p_uncond = p_uncond
+        self.empty_context = empty_context
+        self.null_label = null_label
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        out = dict(self.dataset[idx])
+        if self._rng.random() < self.p_uncond:
+            if "context" in out and self.empty_context is not None:
+                out["context"] = np.asarray(self.empty_context)
+            if "y" in out and self.null_label is not None:
+                out["y"] = np.int32(self.null_label)
+        return out
+
+
+class SyntheticFeatures(Dataset):
+    """Random moments dataset for tests/benchmarks (no reference analog —
+    the reference has no test suite)."""
+
+    def __init__(self, num: int = 256, shape=(32, 32, 8), num_classes: int = 0,
+                 context_shape=None, seed: int = 0):
+        self.num = num
+        self.shape = shape
+        self.num_classes = num_classes
+        self.context_shape = context_shape
+        self.seed = seed
+
+    def __len__(self):
+        return self.num
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed + idx)
+        out = {"x": rng.normal(size=self.shape).astype(np.float32)}
+        if self.num_classes:
+            out["y"] = np.int32(rng.integers(0, self.num_classes))
+        if self.context_shape:
+            out["context"] = rng.normal(size=self.context_shape).astype(
+                np.float32)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Factories (reference DatasetFactory surface, datasets.py:63-107)
+# ---------------------------------------------------------------------------
+
+
+class DatasetFactory:
+    """data_shape is NHWC. ``train``/``test`` are Dataset instances."""
+
+    train: Dataset = None
+    test: Optional[Dataset] = None
+    fid_stat: Optional[str] = None
+    has_label: bool = False
+    K: Optional[int] = None  # number of classes
+
+    @property
+    def data_shape(self):
+        return (32, 32, 4)
+
+    def get_split(self, split: str = "train"):
+        ds = getattr(self, split, None)
+        if ds is None:
+            raise ValueError(f"dataset has no split {split!r}")
+        return ds
+
+    def sample_label(self, rng, n_samples: int):
+        import jax
+
+        if not self.K:
+            raise NotImplementedError("unconditional dataset")
+        return jax.random.randint(rng, (n_samples,), 0, self.K)
+
+    @staticmethod
+    def unpreprocess(images: Array) -> Array:
+        """[-1, 1] -> [0, 1] (reference datasets.py:84-90)."""
+        return np.clip((images + 1.0) / 2.0, 0.0, 1.0)
+
+
+class CM256Features(DatasetFactory):
+    """CelebAMask-HQ 30k latents (reference datasets.py:556-586)."""
+
+    fid_stat = "assets/fid_stats/fid_stats_cm256.npz"
+
+    def __init__(self, path, cfg=False, p_uncond=None, num=30_000,
+                 conditional=False):
+        fmt = "cond" if conditional else "pair"
+        self.train = NpyFeatureDataset(path, num=num, fmt=fmt)
+
+
+class CM256FeaturesCond(CM256Features):
+    def __init__(self, path, cfg=False, p_uncond=None, num=30_000):
+        super().__init__(path, num=num, conditional=True)
+
+
+class H5Features(DatasetFactory):
+    """FFHQ/MetFaces/AFHQ/Churches bulk-h5 latents (+optional attrs)
+    (reference datasets.py:589-718)."""
+
+    def __init__(self, path, cfg=False, p_uncond=None, num=None,
+                 load_in_mem=True, fid_stat=None):
+        self.train = H5FeatureDataset(path, load_in_mem=load_in_mem, num=num)
+        if fid_stat:
+            self.fid_stat = fid_stat
+
+
+class ImageNet256Features(DatasetFactory):
+    fid_stat = "assets/fid_stats/fid_stats_imagenet256_guided_diffusion.npz"
+    has_label = True
+
+    def __init__(self, path, cfg=False, p_uncond=None, num=1_281_167):
+        self.K = 1000
+        train = NpyFeatureDataset(path, num=num, fmt="labeled")
+        if cfg:
+            assert p_uncond is not None
+            self.K = 1001  # class 1000 = null label
+            train = CFGDataset(train, p_uncond, null_label=1000)
+        self.train = train
+
+
+class ImageNet512Features(ImageNet256Features):
+    fid_stat = "assets/fid_stats/fid_stats_imagenet512_guided_diffusion.npz"
+
+    @property
+    def data_shape(self):
+        return (64, 64, 4)
+
+
+class MSCOCO256Features(DatasetFactory):
+    """MSCOCO latents + CLIP contexts (reference datasets.py:990-1043)."""
+
+    fid_stat = "assets/fid_stats/fid_stats_mscoco256_val.npz"
+
+    def __init__(self, path, cfg=False, p_uncond=None, output_caption=False,
+                 expected_sizes=(82783, 40504)):
+        self.train = CaptionFeatureDataset(
+            os.path.join(path, "train"), output_caption=output_caption)
+        self.test = CaptionFeatureDataset(
+            os.path.join(path, "val"), output_caption=output_caption)
+        if expected_sizes:
+            for ds, want in zip((self.train, self.test), expected_sizes):
+                if want and len(ds) != want:
+                    raise ValueError(f"{ds.root}: {len(ds)} != {want}")
+        empty_f = os.path.join(path, "empty_context.npy")
+        self.empty_context = (
+            np.load(empty_f) if os.path.exists(empty_f) else None
+        )
+        if cfg:
+            assert p_uncond is not None and self.empty_context is not None
+            self.train = CFGDataset(self.train, p_uncond,
+                                    empty_context=self.empty_context)
+        # fixed eval prompts (run_vis/{i}.npy: pickled (prompt, context))
+        self.prompts, self.contexts = [], []
+        run_vis = os.path.join(path, "run_vis")
+        if os.path.isdir(run_vis):
+            for f in sorted(os.listdir(run_vis),
+                            key=lambda x: int(x.split(".")[0])):
+                prompt, context = np.load(os.path.join(run_vis, f),
+                                          allow_pickle=True)
+                self.prompts.append(prompt)
+                self.contexts.append(context)
+            self.contexts = np.array(self.contexts)
+
+
+class MMCelebAHQ256Features(MSCOCO256Features):
+    """MM-CelebA-HQ captioned latents (reference datasets.py:1046-1110)."""
+
+    fid_stat = "assets/fid_stats/fid_stats_mmcelebahq256.npz"
+
+    def __init__(self, path, cfg=False, p_uncond=None, output_caption=False):
+        super().__init__(path, cfg=cfg, p_uncond=p_uncond,
+                         output_caption=output_caption, expected_sizes=None)
+
+
+class Synthetic(DatasetFactory):
+    def __init__(self, num=256, shape=(32, 32, 8), num_classes=0,
+                 context_shape=None, **_):
+        self.train = SyntheticFeatures(num, shape, num_classes, context_shape)
+        self.test = SyntheticFeatures(max(num // 4, 1), shape, num_classes,
+                                      context_shape, seed=10_000)
+        if num_classes:
+            self.K = num_classes
+            self.has_label = True
+
+    @property
+    def data_shape(self):
+        return tuple(self.shape_latent())
+
+    def shape_latent(self):
+        h, w, c2 = self.train.shape
+        return (h, w, c2 // 2)
+
+
+_REGISTRY = {
+    "celebamask256_features": CM256Features,
+    "celebamask256_features_cond": CM256FeaturesCond,
+    "ffhq256_features": H5Features,
+    "metfaces256_features": H5Features,
+    "AFHQ256_cat_features": H5Features,
+    "AFHQ256_dog_features": H5Features,
+    "churches256_features": H5Features,
+    "imagenet256_features": ImageNet256Features,
+    "imagenet512_features": ImageNet512Features,
+    "mscoco256_features": MSCOCO256Features,
+    "mmcelebahq256_features_withcaptioncontext": MMCelebAHQ256Features,
+    "synthetic": Synthetic,
+}
+
+
+def get_dataset(name: str, **kwargs) -> DatasetFactory:
+    """Registry (reference datasets.py:1113-1158). T2I caption variants:
+    pass ``output_caption=True`` or use the ``_withcaptioncontext`` alias.
+    """
+    if name == "mscoco256_features_withcaptioncontext":
+        return MSCOCO256Features(output_caption=True, **kwargs)
+    if name not in _REGISTRY:
+        raise NotImplementedError(name)
+    return _REGISTRY[name](**kwargs)

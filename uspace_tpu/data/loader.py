@@ -1,0 +1,119 @@
+"""Host-side batch loader with background prefetch and per-process sharding.
+
+Replaces the reference's torch DataLoader + worker subprocesses
+(`/root/reference/train_lfm.py:62-75`, num_workers=8 fork/spawn). TPU
+training wants: per-host index sharding (each process loads only its slice
+of the global batch — the multi-host input pattern behind
+``jax.make_array_from_process_local_data``), threaded prefetch (feature
+files are small .npy reads; threads beat process workers since numpy IO
+releases the GIL), and a deterministic epoch shuffle.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+from .datasets import Dataset
+
+
+def _stack(samples) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], str):
+            out[k] = vals
+        else:
+            out[k] = np.stack(vals)
+    return out
+
+
+class DataLoader:
+    """Deterministically shuffled, process-sharded, prefetching loader.
+
+    Yields dicts of stacked numpy arrays with leading dim
+    ``batch_size`` (the *per-process* batch: global batch //
+    process_count, mirroring the reference's
+    ``batch_size // accelerator.num_processes`` — train_lfm.py:37-38).
+    """
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        assert batch_size >= 1
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + epoch).permutation(n)
+        # contiguous per-process shard of the shuffled order
+        shard = idx[self.process_index::self.process_count]
+        n_batches = (
+            len(shard) // self.batch_size
+            if self.drop_last
+            else -(-len(shard) // self.batch_size)
+        )
+        return shard, n_batches
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
+        shard, n_batches = self._epoch_indices(epoch)
+        if n_batches == 0:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    ids = shard[b * self.batch_size:(b + 1) * self.batch_size]
+                    samples = list(pool.map(self.dataset.__getitem__, ids))
+                    q.put(_stack(samples))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+    def __iter__(self):
+        return self.epoch(0)
+
+    def infinite(self) -> Iterator[Dict[str, Any]]:
+        """Cycle epochs forever with reshuffling (the training loop's
+        data generator, reference train_lfm.py:129-137)."""
+        epoch = 0
+        while True:
+            yield from self.epoch(epoch)
+            epoch += 1
