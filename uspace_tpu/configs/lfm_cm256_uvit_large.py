@@ -1,7 +1,7 @@
 """CelebAMask-HQ 256, U-ViT-large — the flagship uncond config
 (reference `configs/lfm_cm256_uvit_large.py`)."""
 
-from .common import base_config, d, uvit_nnet
+from uspace_tpu.configs.common import base_config, d, uvit_nnet
 
 
 def get_config():

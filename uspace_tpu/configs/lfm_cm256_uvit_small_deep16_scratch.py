@@ -2,7 +2,7 @@
 baseline config (reference `configs/lfm_cm256_uvit_small_deep16_scratch.py`,
 BASELINE.json config #1)."""
 
-from .common import base_config, d, uvit_nnet
+from uspace_tpu.configs.common import base_config, d, uvit_nnet
 
 
 def get_config():

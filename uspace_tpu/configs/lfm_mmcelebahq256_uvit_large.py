@@ -1,7 +1,7 @@
 """MM-CelebA-HQ 256 T2I, U-ViT-large
 (reference `configs/lfm_mmcelebahq256_uvit_large.py`)."""
 
-from .common import base_config, d, uvit_t2i_nnet
+from uspace_tpu.configs.common import base_config, d, uvit_t2i_nnet
 
 
 def get_config():

@@ -1,7 +1,7 @@
 """MS-COCO T2I, U-ViT-large initialized from ImageNet256 weights
 (reference `configs/lfm_mscoco_uvit_from_in256.py`)."""
 
-from .common import base_config, d, uvit_t2i_nnet
+from uspace_tpu.configs.common import base_config, d, uvit_t2i_nnet
 
 
 def get_config():

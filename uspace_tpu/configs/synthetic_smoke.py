@@ -1,7 +1,7 @@
 """Tiny synthetic config for CPU integration tests and smoke runs
 (no reference analog — the reference ships no tests, SURVEY.md §4)."""
 
-from .common import base_config, d, uvit_nnet
+from uspace_tpu.configs.common import base_config, d, uvit_nnet
 
 
 def get_config():

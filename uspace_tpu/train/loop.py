@@ -1,0 +1,326 @@
+"""End-to-end training loop (latent flow matching, all conditioning modes).
+
+TPU-native redesign of the reference's three near-identical loops
+(`/root/reference/train_lfm.py`, `train_lfm_t2i.py`, `train_ffmm.py`):
+one loop driven by config. Differences by design:
+
+- the hot path is ONE jitted, donated, mesh-sharded step (moments
+  resampling + CFM loss + grad psum + Adam + EMA);
+- input is per-process sharded on host, assembled into global arrays with
+  ``jax.make_array_from_process_local_data`` (replaces accelerate DDP);
+- checkpoints are single orbax saves of the TrainState pytree;
+- eval/vis sampling runs the compiled ODE loop, decodes with the Flax VAE
+  when weights are available, and records FID when stats exist
+  (eval-as-test, reference train_lfm.py:309-325).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import logging
+
+from ..configs.common import nnet_kwargs, z_shape_hwc
+from ..data.datasets import get_dataset
+from ..data.loader import DataLoader
+from ..models import get_nnet
+from ..parallel import mesh as meshlib
+from ..utils.logging_utils import MetricsWriter, dct2str, set_logger
+from ..utils.vis import make_grid, save_image
+from .checkpoint import CheckpointManager, load_pretrained_nnet, try_resume
+from .state import TrainState, get_lr_schedule, get_optimizer
+from .step import make_train_step, make_velocity_fn
+
+Array = jax.Array
+
+
+class Experiment:
+    """Builds model/optimizer/state/shardings/dataloaders from a config."""
+
+    def __init__(self, config, workdir: Optional[str] = None):
+        self.config = config
+        self.workdir = workdir or os.path.join(
+            config.get("workdir", "workdir"), "default"
+        )
+        os.makedirs(self.workdir, exist_ok=True)
+
+        # mesh
+        p = config.parallel
+        dp = None if p.dp in (-1, None) else p.dp
+        self.mesh = meshlib.create_mesh(dp=dp, fsdp=p.fsdp, tp=p.tp)
+
+        # dataset + loader
+        self.dataset = get_dataset(**dict(config.dataset))
+        assert config.train.batch_size % jax.process_count() == 0
+        self.local_batch = config.train.batch_size // jax.process_count()
+        self.loader = DataLoader(
+            self.dataset.get_split("train"),
+            self.local_batch,
+            seed=config.seed,
+            num_workers=config.dl.num_workers,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+
+        # model + state
+        self.model = get_nnet(
+            config.nnet.name,
+            **nnet_kwargs(config.nnet, config.get("compute_dtype")),
+        )
+        rng = jax.random.PRNGKey(config.seed)
+        self.rng = rng
+        z_hwc = z_shape_hwc(config)
+        init_args = self._init_args(z_hwc)
+        params = jax.jit(self.model.init)(rng, *init_args)
+        if config.get("pretrained_path"):
+            path = config.pretrained_path
+            if os.path.exists(path):
+                logging.info("loading pretrained nnet from %s", path)
+                params = load_pretrained_nnet(
+                    path, params, surgery=config.get("pretrained_surgery")
+                )
+            else:
+                logging.warning("pretrained_path %s missing; fresh init", path)
+
+        self.lr_schedule = get_lr_schedule(
+            config.lr_scheduler.name,
+            config.optimizer.lr,
+            warmup_steps=config.lr_scheduler.get("warmup_steps", 0),
+            total_steps=config.train.n_steps,
+        )
+        gc = config.train.get("grad_clip", -1.0)
+        self.tx = get_optimizer(
+            config.optimizer.name,
+            self.lr_schedule,
+            betas=tuple(config.optimizer.betas),
+            weight_decay=config.optimizer.weight_decay,
+            grad_clip=gc if gc and gc > 0 else None,
+        )
+        state = TrainState.create(params, self.tx)
+
+        # shardings + placement
+        self.state_sharding = meshlib.state_shardings(state, self.mesh)
+        self.batch_sharding = meshlib.batch_sharding(self.mesh)
+        self.replicated = meshlib.replicated(self.mesh)
+        self.state = jax.device_put(state, self.state_sharding)
+
+        self.ckpt = CheckpointManager(os.path.join(self.workdir, "ckpts"))
+
+        self._train_step = None
+        self._vae = None
+        self._vae_params = None
+
+    def _init_args(self, z_hwc):
+        x = jnp.zeros((1, *z_hwc), jnp.float32)
+        t = jnp.zeros((1,), jnp.float32)
+        mode = self.config.train.mode
+        if mode == "t2i":
+            ctx = jnp.zeros(
+                (1, self.config.nnet.num_clip_token, self.config.nnet.clip_dim),
+                jnp.float32,
+            )
+            return (x, t, ctx)
+        if mode == "cond" or self.config.nnet.get("num_classes", -1) > 0:
+            return (x, t, jnp.zeros((1,), jnp.int32))
+        return (x, t)
+
+    # --- device input ------------------------------------------------------
+
+    def put_batch(self, batch: Dict[str, Any]) -> Dict[str, Array]:
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, list):  # strings stay host-side
+                continue
+            out[k] = jax.make_array_from_process_local_data(
+                self.batch_sharding, np.asarray(v)
+            )
+        return out
+
+    # --- compiled steps ----------------------------------------------------
+
+    def train_step_fn(self):
+        if self._train_step is None:
+            step = make_train_step(
+                self.model,
+                self.tx,
+                sigma_min=self.config.dynamic.sigma_min,
+                ema_rate=self.config.train.get("ema_rate", 0.9999),
+                lr_schedule=self.lr_schedule,
+                latents_from_moments=self.config.train.get("from_moments", True),
+                vae_scale=self.config.autoencoder.get("scale_factor", 0.18215),
+            )
+            self._train_step = jax.jit(
+                step,
+                in_shardings=(self.state_sharding, None, self.replicated),
+                out_shardings=(self.state_sharding, self.replicated),
+                donate_argnums=(0,),
+            )
+        return self._train_step
+
+    # --- codecs -------------------------------------------------------------
+
+    def vae(self):
+        """(decode_fn, available) — Flax VAE decode when weights exist."""
+        if self._vae is None:
+            from ..codecs.convert import load_torch_checkpoint, vae_torch_to_flax
+            from ..codecs.vae import AutoencoderKL
+
+            path = self.config.autoencoder.get("pretrained_path", "")
+            vae = AutoencoderKL(
+                scale_factor=self.config.autoencoder.get("scale_factor", 0.18215)
+            )
+            if path and os.path.exists(path):
+                sd = load_torch_checkpoint(path)
+                self._vae_params = {"params": vae_torch_to_flax(sd)}
+                self._vae = jax.jit(
+                    lambda z: vae.apply(self._vae_params, z, method=vae.decode)
+                )
+            else:
+                self._vae = False
+        return self._vae
+
+    # --- sampling -----------------------------------------------------------
+
+    def sample_latents(self, params, rng, n: int,
+                       cond: Optional[Dict] = None,
+                       sample_steps: Optional[int] = None) -> Array:
+        from ..core import flow
+
+        steps = sample_steps or self.config.sample.sample_steps
+        z = jax.random.normal(rng, (n, *z_shape_hwc(self.config)))
+        vf = make_velocity_fn(self.model, params, cond or {})
+        return flow.decode(
+            vf, z,
+            {"solver": "fixed", "solver_fix": "euler",
+             "solver_fix_step": 1.0 / steps},
+        )
+
+    def eval_cond(self, rng, n: int) -> Dict[str, Any]:
+        """Conditioning for eval sampling, by mode."""
+        mode = self.config.train.mode
+        if mode == "t2i":
+            test = self.dataset.get_split("test")
+            idx = np.asarray(
+                jax.random.randint(rng, (n,), 0, len(test))
+            )
+            ctx = np.stack([test[int(i)]["context"] for i in idx])
+            return {"context": jnp.asarray(ctx)}
+        if self.dataset.has_label:
+            return {"y": self.dataset.sample_label(rng, n)}
+        return {}
+
+
+def train(config, workdir: Optional[str] = None) -> TrainState:
+    exp = Experiment(config, workdir)
+    cfg = config
+    set_logger("info", os.path.join(exp.workdir, "train.log"))
+    metrics_w = MetricsWriter(os.path.join(exp.workdir, "metrics.jsonl"))
+    is_main = jax.process_index() == 0
+
+    state = try_resume(exp.ckpt, exp.state)
+    start_step = int(state.step)
+    if start_step:
+        logging.info("resumed at step %d", start_step)
+    step_fn = exp.train_step_fn()
+    data = exp.loader.infinite()
+    rng = jax.random.fold_in(exp.rng, 1)
+
+    t_last = time.time()
+    fid_by_step: Dict[int, float] = {}
+    step = start_step
+    while step < cfg.train.n_steps:
+        batch = exp.put_batch(next(data))
+        state, m = step_fn(state, batch, rng)
+        step += 1
+
+        if step % cfg.train.log_interval == 0 and is_main:
+            dt = time.time() - t_last
+            ips = cfg.train.log_interval * cfg.train.batch_size / max(dt, 1e-9)
+            t_last = time.time()
+            scalars = {k: float(v) for k, v in m.items()}
+            scalars["imgs_per_sec"] = ips
+            logging.info("step %d %s", step, dct2str(scalars))
+            metrics_w.write(step, scalars)
+
+        if step % cfg.train.eval_interval == 0:
+            _vis(exp, state, step)
+
+        if step % cfg.train.save_interval == 0:
+            exp.ckpt.save(state, step)
+            fid = _eval_fid(exp, state, step)
+            if fid is not None:
+                fid_by_step[step] = fid
+                metrics_w.write(step, {"fid": fid})
+
+    exp.ckpt.save(state, step, wait=True)
+    # best-FID checkpoint selection (reference train_lfm.py:328-338)
+    if fid_by_step and is_main:
+        best = min(fid_by_step, key=fid_by_step.get)
+        logging.info("best FID %.3f at step %d", fid_by_step[best], best)
+        with open(os.path.join(exp.workdir, "best_ckpt.txt"), "w") as f:
+            f.write(f"{best} {fid_by_step[best]}\n")
+    return state
+
+
+def _vis(exp: Experiment, state: TrainState, step: int) -> None:
+    """Periodic sample grid (reference train_lfm.py:250-306)."""
+    cfg = exp.config
+    n = cfg.vis_num
+    rng = jax.random.fold_in(exp.rng, 2 + step)
+    cond = exp.eval_cond(rng, n)
+    latents = exp.sample_latents(
+        {"params": state.ema_params["params"]}, rng, n, cond
+    )
+    decode = exp.vae()
+    out_path = os.path.join(exp.workdir, "vis", f"{step}.png")
+    if decode:
+        imgs = np.asarray(decode(latents))
+        imgs = exp.dataset.unpreprocess(imgs)
+        if jax.process_index() == 0:
+            save_image(make_grid(imgs), out_path)
+    else:
+        # no VAE weights: save normalized latent channels as a grid
+        lat = np.asarray(latents)
+        lat = (lat - lat.min()) / max(lat.max() - lat.min(), 1e-8)
+        if jax.process_index() == 0:
+            save_image(make_grid(lat[..., :3]), out_path)
+    logging.info("vis saved: %s", out_path)
+
+
+def _eval_fid(exp: Experiment, state: TrainState, step: int):
+    """Small-FID eval on checkpoint save when stats+weights exist
+    (reference eval_step, train_lfm.py:185-230)."""
+    cfg = exp.config
+    fid_stat = getattr(exp.dataset, "fid_stat", None)
+    if not fid_stat or not os.path.exists(fid_stat):
+        return None
+    try:
+        from ..evals import fid as fid_mod
+    except ImportError:
+        return None
+    decode = exp.vae()
+    if not decode:
+        return None
+
+    def sample_images(rng, n):
+        cond = exp.eval_cond(rng, n)
+        lat = exp.sample_latents(
+            {"params": state.ema_params["params"]}, rng, n, cond
+        )
+        return exp.dataset.unpreprocess(np.asarray(decode(lat)))
+
+    out_dir = os.path.join(exp.workdir, "eval", f"{step}")
+    from ..evals.sampling import sample2dir
+
+    n_eval = min(cfg.sample.n_samples, 2048)  # small eval per save
+    sample2dir(
+        lambda rng, n: sample_images(rng, n),
+        n_eval, cfg.sample.mini_batch_size, out_dir,
+        jax.random.fold_in(exp.rng, 3 + step),
+    )
+    return fid_mod.fid_given_paths(fid_stat, out_dir)

@@ -82,7 +82,9 @@ class TrainState(struct.PyTreeNode):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            ema_params=jax.tree.map(lambda x: x, params),
+            # real copy, not an alias: the train step donates the whole
+            # state, and aliased buffers cannot be donated twice
+            ema_params=jax.tree.map(jnp.copy, params),
             opt_state=tx.init(params),
         )
 
