@@ -1,0 +1,172 @@
+"""Integration tests for the dissection drivers: the full read ->
+build-directions -> write-sweep pipeline and the T2I editing flows, on
+tiny synthetic data (the reference has no tests for any of this)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uspace_tpu.configs.common import base_config, d, uvit_nnet, uvit_t2i_nnet
+
+
+def _uncond_config(data_dir):
+    cfg = base_config()
+    cfg.seed = 0
+    cfg.z_shape = (4, 8, 8)
+    cfg.compute_dtype = "float32"
+    cfg.nnet = uvit_nnet(embed_dim=32, depth=2, num_heads=4, img_size=8,
+                         use_checkpoint=False)
+    cfg.dataset = d(name="celebamask256_features_cond", path=data_dir, num=8)
+    cfg.dl.num_workers = 1
+    cfg.dissection.mini_batch_size = 4
+    cfg.dissection.n_samples = 8
+    cfg.dissection.solver_kwargs.solver_fix_step = 0.25  # 4-step grid
+    cfg.dissection.write_scales = [-1.0, 0.0, 1.0]
+    return cfg
+
+
+@pytest.fixture
+def cond_feature_dir(tmp_path, np_rng):
+    droot = tmp_path / "feats"
+    droot.mkdir()
+    for i in range(8):
+        z = np_rng.normal(size=(8, 8, 8)).astype(np.float32)  # moments CHW
+        seg = np.zeros((8, 8), np.uint8)
+        attr = (np_rng.random(4) > 0.5).astype(np.int64)
+        np.save(droot / f"{i}.npy", np.array((z, seg, attr), dtype=object),
+                allow_pickle=True)
+    return str(droot)
+
+
+class TestDissectLfmPipeline:
+    def test_read_build_write(self, tmp_path, cond_feature_dir):
+        from uspace_tpu.cli.dissect_lfm import run
+
+        cfg = _uncond_config(cond_feature_dir)
+        cfg.dissection.read_path_root = str(tmp_path / "read")
+        wd = str(tmp_path / "out")
+
+        cfg.dissection.dissect_name = "read"
+        run(cfg, wd)
+        npz = np.load(tmp_path / "read" / "read.npz")
+        assert npz["latent"].shape == (8, 8, 8, 4)
+        assert npz["feats"].shape[0] == 8 and npz["feats"].shape[1] == 4
+        assert npz["attr"].shape == (8, 4)
+
+        cfg.dissection.dissect_name = "build_attr"
+        run(cfg, wd)
+        dirs = np.load(tmp_path / "read" / "directions_attr.npz")
+        assert dirs["directions"].shape[:2] == (4, 4)  # [T, A, ...]
+
+        cfg.dissection.dissect_name = "build_pca"
+        cfg.dissection.pca_n = 2
+        run(cfg, wd)
+        dirs = np.load(tmp_path / "read" / "directions_pca.npz")
+        assert dirs["directions"].shape[:2] == (4, 2)
+
+        cfg.dissection.dissect_name = "write_attr"
+        cfg.dissection.ith_attr = 1
+        run(cfg, wd)
+        assert os.path.exists(wd + "/write_attr_sweep.png")
+
+        cfg.dissection.dissect_name = "write_pca"
+        cfg.dissection.ith_component = 0
+        run(cfg, wd)
+        assert os.path.exists(wd + "/write_pca_sweep.png")
+
+        cfg.dissection.dissect_name = "write_x0"
+        run(cfg, wd)
+        assert os.path.exists(wd + "/write_x0_sweep.png")
+
+        cfg.dissection.dissect_name = "vis_reversible"
+        run(cfg, wd)
+        lines = open(wd + "/delta_change.txt").read().strip().splitlines()
+        assert len(lines) == 1 and "rel_mean=" in lines[0]
+
+
+@pytest.fixture
+def t2i_feature_dir(tmp_path, np_rng):
+    droot = tmp_path / "t2i"
+    for split in ("train", "val"):
+        sd = droot / split
+        sd.mkdir(parents=True)
+        for i in range(4):
+            np.save(sd / f"{i}.npy",
+                    np_rng.normal(size=(8, 8, 8)).astype(np.float32))
+            np.save(sd / f"{i}_0.npy",
+                    np_rng.normal(size=(5, 16)).astype(np.float32))
+            (sd / f"{i}_0_captions.txt").write_text("ab cd\n")
+    np.save(droot / "empty_context.npy",
+            np.zeros((5, 16), np.float32))
+    return str(droot)
+
+
+def _t2i_config(data_dir):
+    cfg = base_config()
+    cfg.seed = 0
+    cfg.z_shape = (4, 8, 8)
+    cfg.compute_dtype = "float32"
+    cfg.train.mode = "t2i"
+    cfg.nnet = uvit_t2i_nnet(embed_dim=32, depth=2, num_heads=4, img_size=8,
+                             clip_dim=16, num_clip_token=5,
+                             use_checkpoint=False)
+    cfg.dataset = d(name="mscoco256_features", path=data_dir, cfg=False,
+                    p_uncond=0.1, output_caption=True,
+                    expected_sizes=None)
+    cfg.dl.num_workers = 1
+    cfg.dissection.mini_batch_size = 2
+    cfg.dissection.solver_kwargs.solver_fix_step = 0.25
+    return cfg
+
+
+class _CharTok:
+    def encode(self, text):
+        return [0] + [ord(c) for c in text.replace(" ", "")] + [1]
+
+    def decode(self, items):
+        return "".join(chr(i) for i in items)
+
+
+class TestDissectT2I:
+    def test_p2p_real_image_editing(self, tmp_path, t2i_feature_dir):
+        from uspace_tpu.cli.dissect_common import build_session
+        from uspace_tpu.cli.dissect_lfm_t2i import real_image_editing
+
+        cfg = _t2i_config(t2i_feature_dir)
+        cfg.dissection.dissect_name = "p2p"
+        cfg.dissection.token_kwargs.p2p_to_multiply = "cd"
+        cfg.dissection.token_kwargs.p2p_multiplier = 4.0
+        wd = str(tmp_path / "p2p")
+        os.makedirs(wd)
+        session, vae_decode = build_session(cfg)
+        real_image_editing(cfg, session, vae_decode, wd,
+                           clip=None, tokenizer=_CharTok())
+        assert os.path.exists(wd + "/0_before.png")
+        assert os.path.exists(wd + "/0_after.png")
+        assert "->" in open(wd + "/0_caption.txt").read()
+
+    def test_p2p_requires_tokenizer(self, tmp_path, t2i_feature_dir):
+        from uspace_tpu.cli.dissect_common import build_session
+        from uspace_tpu.cli.dissect_lfm_t2i import real_image_editing
+
+        cfg = _t2i_config(t2i_feature_dir)
+        cfg.dissection.dissect_name = "p2p"
+        session, vae_decode = build_session(cfg)
+        with pytest.raises(RuntimeError, match="tokenizer"):
+            real_image_editing(cfg, session, vae_decode, str(tmp_path),
+                               clip=None, tokenizer=None)
+
+    def test_sampled_image_editing_sweep(self, tmp_path, t2i_feature_dir):
+        from uspace_tpu.cli.dissect_lfm_t2i import run
+
+        cfg = _t2i_config(t2i_feature_dir)
+        cfg.dissection.dissect_name = "sampled_image_editing"
+        cfg.dissection.token_kwargs.p2p_to_multiply = ""
+        cfg.dissection.token_kwargs.p2p_multiplier = 1.0
+        wd = str(tmp_path / "sie")
+        run(cfg, wd)
+        assert os.path.exists(wd + "/sampled_editing_sweep.png")
+        assert os.path.exists(wd + "/captions.txt")

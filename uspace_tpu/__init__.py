@@ -19,3 +19,29 @@ reference's filesystem side effects (`/root/reference/libs/dissection.py`).
 """
 
 __version__ = "0.1.0"
+
+
+def _respect_jax_platforms_env() -> None:
+    """Re-assert the JAX_PLATFORMS env var over programmatic overrides.
+
+    Some environments install a sitecustomize hook that calls
+    ``jax.config.update("jax_platforms", ...)`` in every process, which
+    silently overrides the user's explicit ``JAX_PLATFORMS=cpu``. If the
+    env var is set, make it win (it is the documented user contract).
+    No-op when the env var is unset or backends already initialized.
+    """
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != env:
+            jax.config.update("jax_platforms", env)
+    except Exception:
+        pass
+
+
+_respect_jax_platforms_env()

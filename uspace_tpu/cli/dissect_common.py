@@ -1,0 +1,82 @@
+"""Shared construction for the dissect CLIs: frozen eval stack from config
+(reference builds this inline in each driver — dissect_lfm.py:67-84)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import logging
+
+from ..codecs.convert import load_torch_checkpoint, vae_torch_to_flax
+from ..codecs.vae import AutoencoderKL
+from ..configs.common import nnet_kwargs, z_shape_hwc
+from ..editing.drivers import DissectSession
+from ..models import get_nnet
+
+
+def load_nnet_params(config, model, init_args) -> dict:
+    """Load denoiser weights from dissection.ckpt_path_to_dissect: an
+    orbax checkpoint dir (this framework; uses EMA params) or a reference
+    torch ``nnet[_ema].pth``."""
+    params = jax.jit(model.init)(jax.random.PRNGKey(config.seed), *init_args)
+    path = config.dissection.get("ckpt_path_to_dissect") or ""
+    if not path:
+        logging.warning("no ckpt_path_to_dissect; random weights (smoke mode)")
+        return params
+    if path.endswith(".pth"):
+        from ..train.checkpoint import load_pretrained_nnet
+
+        return load_pretrained_nnet(path, params)
+    # orbax: restore TrainState and take EMA params
+    import orbax.checkpoint as ocp
+
+    from ..train.checkpoint import CheckpointManager
+    from ..train.state import TrainState, get_optimizer
+
+    tx = get_optimizer("adam", 1e-4)
+    state = TrainState.create(params, tx)
+    mgr = CheckpointManager(path)
+    state = mgr.restore(state)
+    return jax.tree.map(np.asarray, state.ema_params)
+
+
+def build_session(config) -> Tuple[DissectSession, object]:
+    """(session, vae_decode|None) from an experiment config."""
+    z_hwc = z_shape_hwc(config)
+    model = get_nnet(
+        config.nnet.name,
+        **nnet_kwargs(config.nnet, config.get("compute_dtype")),
+    )
+    x = jnp.zeros((1, *z_hwc), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    if config.nnet.name == "uvit_t2i":
+        ctx = jnp.zeros((1, config.nnet.num_clip_token, config.nnet.clip_dim))
+        init_args = (x, t, ctx)
+    elif config.nnet.get("num_classes", -1) > 0:
+        init_args = (x, t, jnp.zeros((1,), jnp.int32))
+    else:
+        init_args = (x, t)
+    params = load_nnet_params(config, model, init_args)
+
+    vae_decode = vae_sample = None
+    vae_path = config.autoencoder.get("pretrained_path", "")
+    if vae_path and os.path.exists(vae_path):
+        vae = AutoencoderKL(
+            scale_factor=config.autoencoder.get("scale_factor", 0.18215)
+        )
+        vparams = {"params": vae_torch_to_flax(load_torch_checkpoint(vae_path))}
+        vae_decode = jax.jit(
+            lambda z: vae.apply(vparams, z, method=vae.decode))
+        vae_sample = jax.jit(
+            lambda m, rng: vae.apply(vparams, m, rng, method=vae.sample))
+
+    session = DissectSession(
+        model, params,
+        vae_decode=vae_decode, vae_sample=vae_sample,
+        solver_kwargs=dict(config.dissection.solver_kwargs),
+    )
+    return session, vae_decode

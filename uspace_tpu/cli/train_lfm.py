@@ -18,9 +18,11 @@ from absl import app, flags
 from ml_collections import config_flags
 
 FLAGS = flags.FLAGS
-config_flags.DEFINE_config_file("config", None, "experiment config",
-                                lock_config=False)
-flags.DEFINE_string("workdir", "workdir", "output root")
+if "config" not in FLAGS:
+    config_flags.DEFINE_config_file("config", None, "experiment config",
+                                    lock_config=False)
+if "workdir" not in FLAGS:
+    flags.DEFINE_string("workdir", "workdir", "output root")
 flags.mark_flags_as_required(["config"])
 
 

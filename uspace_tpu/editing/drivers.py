@@ -1,0 +1,224 @@
+"""Dissection drivers: the read / direction-build / write / roundtrip flows.
+
+High-level orchestration equivalent to the reference's dissect entry
+points (`/root/reference/dissect_lfm.py`, `dissect_lfm_t2i.py`,
+`tools/utils_vis.py`), re-designed around in-memory capture grids instead
+of .npy dump directories (the on-disk .npz artifacts remain, but they are
+written once per phase, not once per ODE step).
+
+Flows:
+- read:        real latents -> exact inversion with activation capture ->
+               (latents, attrs, activation grid) saved as one .npz
+               (reference dissect_lfm.py:209-236 + utils_vis.py:370-417).
+- directions:  attr deltas / per-timestep PCA over the read artifact
+               (reference tools/utils_attr.py / utils_pca.py __main__s).
+- write sweep: decode with a USpaceEdit over write_scales from shared
+               noise -> [S, B, ...] latents -> optional VAE decode ->
+               scale-sweep grid (reference sample_for_hspace_vis,
+               utils_vis.py:138-257).
+- roundtrip:   encode->decode reconstruction error (vis_reversible /
+               cal_delta_change, dissect_lfm.py:162-207,
+               tools/utils_interp.py:5-17).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import logging
+
+from ..core import flow
+from ..train.step import make_velocity_fn, sample_from_moments
+from .capture import capture_trajectory, captures_to_grid
+from .directions import attr_delta_directions, pca_directions
+from .specs import AttnEdit, USpaceEdit
+
+Array = jax.Array
+
+
+class DissectSession:
+    """Frozen eval stack: denoiser params + optional VAE, with the
+    encode/decode/capture primitives the flows compose."""
+
+    def __init__(self, model, params, vae_decode: Optional[Callable] = None,
+                 vae_sample: Optional[Callable] = None,
+                 solver_kwargs: Optional[dict] = None):
+        self.model = model
+        self.params = params
+        self.vae_decode = vae_decode
+        self.vae_sample = vae_sample
+        self.solver_kwargs = dict(
+            solver_kwargs
+            or {"solver": "fixed", "solver_fix": "euler",
+                "solver_fix_step": 0.01}
+        )
+
+    # -- primitives ----------------------------------------------------------
+
+    def _vf(self, cond: Optional[Dict] = None, **kw):
+        return make_velocity_fn(self.model, self.params, cond or {}, **kw)
+
+    def encode(self, x: Array, cond: Optional[Dict] = None,
+               attn_edit: Optional[AttnEdit] = None) -> Array:
+        """Exact inversion x -> z (never applies attention edits: the
+        reference disables editing in the encode direction,
+        utils_t2i.py:276-278)."""
+        return flow.encode(self._vf(cond), x, self.solver_kwargs)
+
+    def decode(self, z: Array, cond: Optional[Dict] = None,
+               edit: Optional[USpaceEdit] = None,
+               attn_edit: Optional[AttnEdit] = None,
+               t_edit: Optional[float] = None) -> Array:
+        kw = {}
+        if edit is not None:
+            kw["edit"] = edit
+        if attn_edit is not None:
+            kw["attn_edit"] = attn_edit
+        return flow.decode(self._vf({} if cond is None else cond, **kw), z,
+                           self.solver_kwargs, t_edit=t_edit)
+
+    # -- read phase -----------------------------------------------------------
+
+    def num_grid_steps(self) -> int:
+        step = self.solver_kwargs.get("solver_fix_step", 0.01)
+        return max(1, round(1.0 / step))
+
+    def read(
+        self,
+        batches,
+        tap: str = "mid",
+        from_moments: bool = True,
+        rng: Optional[Array] = None,
+        max_samples: Optional[int] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Encode real data while capturing ``tap`` activations.
+
+        ``batches``: iterable of dicts with 'x' (moments or latents) and
+        optional 'attr'/'y'/'context'. Returns {'latent': [N, ...],
+        'attr': [N, A]?, 'feats': [N, T, ...], 't_grid': [T]}.
+        """
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        lat, attrs, feats = [], [], []
+        t_grid = None
+        n_seen = 0
+        for i, batch in enumerate(batches):
+            x = jnp.asarray(batch["x"])
+            if from_moments:
+                if self.vae_sample is not None:
+                    x = self.vae_sample(x, jax.random.fold_in(rng, i))
+                else:
+                    x = sample_from_moments(x, jax.random.fold_in(rng, i))
+            cond = {k: jnp.asarray(batch[k]) for k in ("y", "context")
+                    if k in batch}
+            z, stacks = capture_trajectory(
+                self.model, self.params, x, cond=cond, taps=(tap,),
+                direction="encode", num_steps=self.num_grid_steps(),
+                method=self.solver_kwargs.get("solver_fix", "euler"),
+            )
+            grid = captures_to_grid(stacks[tap], stacks["t"])
+            if t_grid is None:
+                t_grid = np.sort(np.asarray(stacks["t"]))
+            lat.append(np.asarray(z))
+            feats.append(np.asarray(grid).swapaxes(0, 1))  # [B, T, ...]
+            if "attr" in batch:
+                attrs.append(np.asarray(batch["attr"]))
+            n_seen += x.shape[0]
+            if max_samples and n_seen >= max_samples:
+                break
+        out = {
+            "latent": np.concatenate(lat),
+            "feats": np.concatenate(feats),
+            "t_grid": t_grid,
+        }
+        if attrs:
+            out["attr"] = np.concatenate(attrs)
+        return out
+
+    # -- write phase ----------------------------------------------------------
+
+    def write_sweep(
+        self,
+        delta_grid: Array,
+        write_scales: Sequence[float],
+        n_samples: int,
+        *,
+        loc: str = "mid",
+        t_edit: float = 1.0,
+        gate_mode: str = "le",
+        grid_dt: Optional[float] = None,
+        cond: Optional[Dict] = None,
+        fixed_z: Optional[Array] = None,
+        rng: Optional[Array] = None,
+        z_shape: Tuple[int, ...] = (32, 32, 4),
+    ) -> Array:
+        """Decode the same noise under each write scale ->
+        [S, B, ...latents] (reference sample_for_hspace_vis,
+        utils_vis.py:138-257). One compiled program reused across scales
+        (scale is a traced scalar)."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        if fixed_z is not None:
+            z = jnp.asarray(fixed_z)[:n_samples]
+        else:
+            z = jax.random.normal(rng, (n_samples, *z_shape))
+        gd = grid_dt or self.solver_kwargs.get("solver_fix_step", 0.01)
+        edit0 = USpaceEdit(
+            delta_grid=jnp.asarray(delta_grid), scale=jnp.float32(0.0),
+            grid_dt=gd, t_edit=t_edit, gate_mode=gate_mode, loc=loc,
+        )
+
+        @jax.jit
+        def one_scale(scale):
+            e = edit0.replace(scale=scale)
+            vf = self._vf(cond or {}, edit=e)
+            return flow.decode(vf, z, self.solver_kwargs)
+
+        outs = [one_scale(jnp.float32(s)) for s in write_scales]
+        return jnp.stack(outs)
+
+    # -- correctness probes ---------------------------------------------------
+
+    def roundtrip_error(self, x: Array, cond: Optional[Dict] = None
+                        ) -> Dict[str, float]:
+        """encode -> decode reconstruction error (the reference's
+        vis_reversible / cal_delta_change quality probe)."""
+        z = self.encode(x, cond)
+        rec = self.decode(z, cond)
+        err = jnp.abs(rec - x)
+        rel = jnp.linalg.norm((rec - x).reshape(x.shape[0], -1), axis=1) / (
+            jnp.linalg.norm(x.reshape(x.shape[0], -1), axis=1) + 1e-12
+        )
+        return {
+            "abs_max": float(err.max()),
+            "abs_mean": float(err.mean()),
+            "rel_mean": float(rel.mean()),
+        }
+
+
+def build_directions_npz(
+    read_npz: str,
+    out_path: str,
+    mode: str = "attr",
+    pca_n: int = 50,
+) -> str:
+    """Offline direction building over a read artifact
+    (reference tools/utils_attr.py:210-253 / utils_pca.py __main__)."""
+    data = np.load(read_npz)
+    feats = jnp.asarray(data["feats"])  # [N, T, ...]
+    if mode == "attr":
+        if "attr" not in data:
+            raise ValueError(f"{read_npz} has no attrs; read with a "
+                             "conditional dataset")
+        grid = attr_delta_directions(feats, jnp.asarray(data["attr"]))
+    elif mode == "pca":
+        grid = pca_directions(feats, pca_n)
+    else:
+        raise ValueError(mode)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    np.savez(out_path, directions=np.asarray(grid), t_grid=data["t_grid"],
+             mode=mode)
+    logging.info("directions (%s) %s -> %s", mode, grid.shape, out_path)
+    return out_path
