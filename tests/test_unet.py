@@ -1,0 +1,156 @@
+"""SD-UNet tests: shapes/editing hooks + numerical parity against the
+reference torch implementation through the weight converter."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uspace_tpu.editing.specs import USpaceEdit
+from uspace_tpu.models import get_nnet
+from uspace_tpu.models.unet import UNet
+
+REF = "/root/reference"
+HAS_REF = os.path.isdir(os.path.join(REF, "libs"))
+
+TINY = dict(image_size=16, in_channels=4, out_channels=4, model_channels=32,
+            num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+            num_head_channels=16, use_spatial_transformer=True,
+            transformer_depth=1, context_dim=24, attn_impl="xla")
+
+
+class TestUNetModule:
+    def _mk(self, rng, **kw):
+        cfg = dict(TINY, **kw)
+        m = UNet(**cfg)
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        t = jnp.full((2,), 0.4)
+        ctx = jax.random.normal(jax.random.fold_in(rng, 1), (2, 7, 24))
+        params = m.init(rng, x, t, ctx)
+        # randomize the zero-init tensors (proj_out / out_conv) so the
+        # attention/residual paths are live in these tests
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.fold_in(rng, 99), len(leaves))
+        leaves = [
+            jax.random.normal(k, l.shape, l.dtype) * 0.05
+            if float(jnp.abs(l).max()) == 0.0 and l.ndim > 1 else l
+            for k, l in zip(keys, leaves)
+        ]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        return m, params, x, t, ctx
+
+    def test_forward_shapes_and_context(self, rng):
+        m, params, x, t, ctx = self._mk(rng)
+        v, taps = m.apply(params, x, t, ctx)
+        assert v.shape == x.shape
+        v2, _ = m.apply(params, x, t, ctx + 1.0)
+        assert float(jnp.abs(v - v2).max()) > 1e-6
+
+    def test_uncond_zero_context_fallback(self, rng):
+        m, params, x, t, ctx = self._mk(rng)
+        v, _ = m.apply(params, x, t)  # no context -> zeros token
+        assert v.shape == x.shape
+
+    def test_edit_and_capture_mid(self, rng):
+        m, params, x, t, ctx = self._mk(rng)
+        v0, taps = m.apply(params, x, t, ctx, capture=("mid",))
+        assert taps["mid"].shape == (2, 8, 8, 64)  # ds=2, ch=2*32
+        edit = USpaceEdit(delta_grid=jnp.ones((5, 8, 8, 64)),
+                          scale=jnp.float32(0.5), grid_dt=0.25, loc="mid")
+        v1, _ = m.apply(params, x, t, ctx, edit=edit)
+        assert float(jnp.abs(v1 - v0).max()) > 1e-6
+
+    def test_registry(self):
+        m = get_nnet("unet_t2i", **TINY)
+        assert isinstance(m, UNet)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+class TestUNetParity:
+    def _ref_unet(self, **kw):
+        import torch
+
+        # the reference constructor calls .cuda() on a zeros buffer
+        # (openaimodel.py:790) — neutralize for CPU parity testing
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        # it also imports omegaconf (not installed) just for a type check
+        # (openaimodel.py:532) — stub it
+        import types
+
+        if "omegaconf" not in sys.modules:
+            om_mod = types.ModuleType("omegaconf")
+            lc = types.ModuleType("omegaconf.listconfig")
+
+            class ListConfig(list):
+                pass
+
+            lc.ListConfig = ListConfig
+            om_mod.listconfig = lc
+            sys.modules["omegaconf"] = om_mod
+            sys.modules["omegaconf.listconfig"] = lc
+        if REF not in sys.path:
+            sys.path.insert(0, REF)
+        import importlib
+
+        om = importlib.import_module("libs.sd.openaimodel")
+        return om.UNetModel(**kw)
+
+    def test_forward_parity_cross_attn(self):
+        import torch
+
+        torch.manual_seed(0)
+        ref = self._ref_unet(
+            image_size=16, in_channels=4, out_channels=4, model_channels=32,
+            num_res_blocks=1, attention_resolutions=[2], channel_mult=[1, 2],
+            num_head_channels=16, use_spatial_transformer=True,
+            transformer_depth=1, context_dim=24,
+        ).eval()
+        with torch.no_grad():  # wake zero-init modules for a live parity test
+            for p in ref.parameters():
+                if p.abs().max() == 0 and p.dim() > 1:
+                    p.normal_(0, 0.05)
+        x = np.random.default_rng(0).normal(size=(2, 4, 16, 16)).astype(np.float32)
+        t = np.array([0.3, 0.8], np.float32)
+        ctx = np.random.default_rng(1).normal(size=(2, 7, 24)).astype(np.float32)
+        with torch.no_grad():
+            v_ref, _ = ref(torch.from_numpy(x), torch.from_numpy(t),
+                           context=torch.from_numpy(ctx), edit_loc=None)
+        from uspace_tpu.codecs.convert import unet_torch_to_flax
+
+        m = UNet(**TINY)
+        params = {"params": unet_torch_to_flax(ref.state_dict())}
+        v, _ = m.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       jnp.asarray(t), jnp.asarray(ctx))
+        np.testing.assert_allclose(
+            np.asarray(v).transpose(0, 3, 1, 2), v_ref.numpy(),
+            rtol=2e-3, atol=2e-4,
+        )
+
+    def test_drop_cross_attention_surgery(self):
+        import torch
+
+        torch.manual_seed(1)
+        ref = self._ref_unet(
+            image_size=16, in_channels=4, out_channels=4, model_channels=32,
+            num_res_blocks=1, attention_resolutions=[2], channel_mult=[1, 2],
+            num_head_channels=16, use_spatial_transformer=True,
+            transformer_depth=1, context_dim=24,
+        )
+        from uspace_tpu.codecs.convert import merge_params, unet_torch_to_flax
+
+        conv = unet_torch_to_flax(ref.state_dict(), drop_cross_attention=True)
+        flat = jax.tree_util.tree_flatten_with_path(conv)[0]
+        paths = ["/".join(str(getattr(k, "key", k)) for k in kp)
+                 for kp, _ in flat]
+        assert not any("attn2" in p for p in paths)
+        assert any("attn1" in p for p in paths)
+        # merge restores fresh attn2
+        m = UNet(**TINY)
+        fresh = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4)),
+                       jnp.zeros((1,)), jnp.zeros((1, 7, 24)))["params"]
+        merged = merge_params(conv, fresh)
+        mb = merged["middle_block_1"]["blocks_0"]
+        assert "attn2" in mb

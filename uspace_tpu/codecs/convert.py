@@ -198,3 +198,60 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
                 k = k[len(pref):]
         out[k] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# SD UNet (libs/sd/openaimodel.py -> models/unet.py)
+# ---------------------------------------------------------------------------
+
+
+def _unet_key_map(base: str) -> Optional[Tuple[str, ...]]:
+    b = base
+    b = b.replace("time_embed.0", "time_embed_fc1")
+    b = b.replace("time_embed.2", "time_embed_fc2")
+    # Up/Downsample convs inside block sequences
+    b = re.sub(r"\binput_blocks\.(\d+)\.0\.op$", r"input_blocks_\1_0_down", b)
+    b = re.sub(r"\boutput_blocks\.(\d+)\.(\d+)\.conv$", r"output_blocks_\1_up", b)
+    b = re.sub(r"\binput_blocks\.(\d+)\.(\d+)", r"input_blocks_\1_\2", b)
+    b = re.sub(r"\boutput_blocks\.(\d+)\.(\d+)", r"output_blocks_\1_\2", b)
+    b = re.sub(r"\bmiddle_block\.(\d+)", r"middle_block_\1", b)
+    # ResBlock internals
+    b = b.replace("in_layers.0", "in_norm")
+    b = b.replace("in_layers.2", "in_conv")
+    b = b.replace("emb_layers.1", "emb_proj")
+    b = b.replace("out_layers.0", "out_norm")
+    b = b.replace("out_layers.3", "out_conv")
+    b = b.replace("skip_connection", "skip")
+    # SpatialTransformer internals
+    b = re.sub(r"\btransformer_blocks\.(\d+)", r"blocks_\1", b)
+    b = b.replace("to_out.0", "to_out")
+    b = b.replace("ff.net.0.proj", "ff.geglu_proj")
+    b = b.replace("ff.net.2", "ff.out")
+    # output head
+    b = b.replace("out.0", "out_norm")
+    b = b.replace("out.2", "out_conv")
+    if b.endswith("context_fixed"):
+        return None
+    return tuple(b.split("."))
+
+
+def unet_torch_to_flax(
+    state_dict: Dict[str, Any],
+    drop_cross_attention: bool = False,
+) -> Dict[str, Any]:
+    """Convert an SD/guided-diffusion UNet checkpoint (after the
+    ``model.diffusion_model.`` prefix strip done by
+    :func:`load_torch_checkpoint`).
+
+    ``drop_cross_attention`` reproduces ``load_sd_unet_remove_attention``
+    (utils_uvit.py:168-209): discard attn2 weights so the cross-attention
+    is re-initialized for a new conditioning space.
+    """
+
+    def key_map(base: str):
+        if drop_cross_attention and ".attn2." in base:
+            return None
+        return _unet_key_map(base)
+
+    return convert_state_dict(state_dict, key_map,
+                              embedding_keys=("label_emb",))

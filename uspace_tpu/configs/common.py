@@ -137,6 +137,7 @@ def nnet_kwargs(nnet_cfg, compute_dtype=None) -> dict:
     kw.pop("name", None)
     kw.pop("use_latent1d", None)
     kw.pop("latent_1d_pooling", None)
+    kw.pop("use_fp16", None)  # dtype policy comes from compute_dtype
     if compute_dtype is not None:
         kw["dtype"] = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
             compute_dtype
