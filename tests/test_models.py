@@ -200,3 +200,54 @@ class TestUViTT2I:
         vp, _ = m.apply(params, x, t, ctx)
         np.testing.assert_allclose(vn, vp, atol=1e-6)
         assert float(jnp.abs(va - vp).max()) > float(jnp.abs(vo - vp).max()) > 1e-7
+
+
+class TestBlockedFlash:
+    def test_blocked_matches_fused_and_xla(self, rng):
+        from uspace_tpu.ops.attention import (
+            flash_attention_blocked,
+            xla_attention,
+        )
+
+        q = jax.random.normal(rng, (1, 2, 300, 64)) * 0.2
+        k = jax.random.normal(jax.random.fold_in(rng, 1), q.shape) * 0.2
+        v = jax.random.normal(jax.random.fold_in(rng, 2), q.shape)
+        scale = 64**-0.5
+        ref = xla_attention(q, k, v, scale)
+        out = flash_attention_blocked(q, k, v, scale, block_q=128,
+                                      block_k=128, interpret=True)
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+class TestPackedAttention:
+    def test_packed_matches_standard(self, rng):
+        """The transpose-free packed-QKV kernel must match the standard
+        layout path through the Attention module."""
+        from uspace_tpu.models.layers import Attention
+
+        x = jax.random.normal(rng, (2, 100, 64)) * 0.5
+        a_std = Attention(num_heads=4, attn_impl="xla")
+        a_pk = Attention(num_heads=4, attn_impl="pallas_packed")
+        params = a_std.init(rng, x)
+        o1 = a_std.apply(params, x)
+        o2 = a_pk.apply(params, x)
+        np.testing.assert_allclose(o1, o2, rtol=2e-3, atol=2e-3)
+
+    def test_packed_fn_directly(self, rng):
+        from uspace_tpu.ops.attention import fused_qkv_attention, xla_attention
+
+        b, l, h, d = 2, 257, 4, 32
+        qkv = jax.random.normal(rng, (b, l, 3 * h * d)) * 0.3
+        out = fused_qkv_attention(qkv, h)
+        q, k, v = (qkv.reshape(b, l, 3, h, d).transpose(2, 0, 3, 1, 4))
+        ref = xla_attention(q, k, v, d**-0.5)
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+    def test_packed_gradients_match_xla(self, rng):
+        from uspace_tpu.ops.attention import _packed_xla, fused_qkv_attention
+
+        qkv = jax.random.normal(rng, (2, 60, 3 * 4 * 16)) * 0.3
+        g1 = jax.grad(lambda q: (fused_qkv_attention(q, 4) ** 2).sum())(qkv)
+        g2 = jax.grad(lambda q: (_packed_xla(q, 4, 16**-0.5) ** 2).sum())(qkv)
+        np.testing.assert_allclose(g1, g2, rtol=2e-3, atol=2e-3)

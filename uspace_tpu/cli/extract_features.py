@@ -1,0 +1,104 @@
+"""Feature-extraction CLI (replaces the reference's 16 per-dataset
+scripts under `/root/reference/scripts/` with one parameterized tool):
+
+    python -m uspace_tpu.cli.extract_features \
+        --images=/data/celebamask/CelebA-HQ-img --resolution=256 \
+        --vae=assets/stable-diffusion/autoencoder_kl.pth \
+        --out=assets/datasets/celebamask256_features --format=npy
+
+    # T2I (images + sidecar caption .txt files + CLIP):
+    ... --captions=/data/mmcelebahq/captions --clip=<clip_dir> --format=t2i
+
+    # CFG null context + fixed eval prompts:
+    ... --empty_context --prompts="a cat,a dog"
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from absl import app, flags, logging
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("images", None, "raw image dir (or MSCOCO root)")
+flags.DEFINE_string("captions", None, "caption dir (sidecar txt) if separate")
+flags.DEFINE_string("ann_file", None, "MSCOCO annotation json (switches to "
+                                      "MSCOCODatabase)")
+flags.DEFINE_string("attr_file", None, "CelebA list_attr file (adds attrs)")
+flags.DEFINE_string("vae", "assets/stable-diffusion/autoencoder_kl.pth",
+                    "SD VAE torch checkpoint")
+flags.DEFINE_string("clip", None, "local CLIP dir (torch weights + tokenizer)")
+flags.DEFINE_string("out", None, "output dir / h5 path")
+flags.DEFINE_integer("resolution", 256, "image resolution")
+flags.DEFINE_integer("batch_size", 64, "encode batch size")
+flags.DEFINE_enum("format", "npy", ["npy", "h5", "t2i"], "output format")
+flags.DEFINE_bool("flip", False, "add horizontally flipped copies")
+flags.DEFINE_bool("empty_context", False, "also write empty_context.npy")
+flags.DEFINE_string("prompts", None, "comma-separated eval prompts for "
+                                     "run_vis/")
+
+
+def _build_text_encoder():
+    import transformers
+
+    from ..codecs.clip_text import FrozenCLIPEmbedder, clip_torch_to_flax
+    from ..codecs.convert import load_torch_checkpoint
+
+    clip_dir = FLAGS.clip
+    weights = os.path.join(clip_dir, "pytorch_model.bin")
+    if not os.path.exists(weights):
+        weights = clip_dir  # direct file path
+    tokenizer = transformers.CLIPTokenizer.from_pretrained(
+        clip_dir if os.path.isdir(clip_dir) else os.path.dirname(clip_dir))
+    params = {"params": clip_torch_to_flax(load_torch_checkpoint(weights))}
+    emb = FrozenCLIPEmbedder(params, tokenizer)
+    return lambda caps: np.asarray(emb.encode(caps))
+
+
+def main(argv):
+    from ..codecs.convert import load_torch_checkpoint, vae_torch_to_flax
+    from ..data import extraction
+    from ..data.raw import (
+        CaptionedImageFolder,
+        CelebAMaskHQ,
+        ImageFolder,
+        MSCOCODatabase,
+    )
+
+    vae_params = {"params": vae_torch_to_flax(
+        load_torch_checkpoint(FLAGS.vae))}
+    encode_moments = extraction.make_vae_encoder(vae_params)
+
+    if FLAGS.ann_file:
+        ds = MSCOCODatabase(FLAGS.images, FLAGS.ann_file, FLAGS.resolution)
+    elif FLAGS.format == "t2i" or FLAGS.captions:
+        ds = CaptionedImageFolder(FLAGS.images, FLAGS.captions,
+                                  FLAGS.resolution)
+    elif FLAGS.attr_file:
+        ds = CelebAMaskHQ(FLAGS.images, FLAGS.resolution, FLAGS.attr_file)
+    else:
+        ds = ImageFolder(FLAGS.images, FLAGS.resolution)
+
+    if FLAGS.format == "npy":
+        extraction.extract_features_npy(ds, encode_moments, FLAGS.out,
+                                        FLAGS.batch_size, flip=FLAGS.flip)
+    elif FLAGS.format == "h5":
+        extraction.extract_features_h5(ds, encode_moments, FLAGS.out,
+                                       FLAGS.batch_size)
+    else:
+        encode_text = _build_text_encoder()
+        extraction.extract_t2i_features(ds, encode_moments, encode_text,
+                                        FLAGS.out, FLAGS.batch_size)
+        if FLAGS.empty_context:
+            extraction.extract_empty_context(encode_text,
+                                             os.path.dirname(FLAGS.out))
+        if FLAGS.prompts:
+            extraction.extract_test_prompts(
+                FLAGS.prompts.split(","), encode_text,
+                os.path.dirname(FLAGS.out))
+    logging.info("done")
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -360,6 +360,39 @@ class Synthetic(DatasetFactory):
         return (h, w, c2 // 2)
 
 
+class RawImages(DatasetFactory):
+    """Raw image folders (reference real_img / ffhq256 / celeba entries;
+    lfm_dataset adapters). Mostly used by extraction, but exposed through
+    the registry for pixel-space (ffmm) training."""
+
+    def __init__(self, path, resolution=256, attr_file=None, **_):
+        from .raw import CelebAMaskHQ, ImageFolder
+
+        if attr_file:
+            self.train = _ImagesAsX(CelebAMaskHQ(path, resolution, attr_file))
+        else:
+            self.train = _ImagesAsX(ImageFolder(path, resolution))
+        self.resolution = resolution
+
+    @property
+    def data_shape(self):
+        return (self.resolution, self.resolution, 3)
+
+
+class _ImagesAsX(Dataset):
+    def __init__(self, base):
+        self.base = base
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx):
+        s = dict(self.base[idx])
+        s["x"] = s.pop("image")
+        s.pop("path", None)
+        return s
+
+
 _REGISTRY = {
     "celebamask256_features": CM256Features,
     "celebamask256_features_cond": CM256FeaturesCond,
@@ -373,6 +406,11 @@ _REGISTRY = {
     "mscoco256_features": MSCOCO256Features,
     "mmcelebahq256_features_withcaptioncontext": MMCelebAHQ256Features,
     "synthetic": Synthetic,
+    "real_img": RawImages,
+    "ffhq256": RawImages,
+    "celeba": RawImages,
+    "imagenet": RawImages,
+    "cifar10": RawImages,
 }
 
 

@@ -17,6 +17,15 @@ from flax import linen as nn
 from ..editing.specs import AttnEdit
 from ..ops.attention import multi_head_attention
 
+
+def _packed_ok() -> bool:
+    """auto mode: use the packed Pallas kernel on real TPU only (the
+    interpreter is too slow for CPU tests; XLA is faster there)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
 Array = jax.Array
 
 # torch defaults the reference relies on: LayerNorm eps=1e-5, exact GELU
@@ -112,6 +121,20 @@ class Attention(nn.Module):
         scale = self.qk_scale or d**-0.5
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=dense_init, name="qkv")(x)
+
+        use_packed = self.attn_impl == "pallas_packed" or (
+            self.attn_impl == "auto" and _packed_ok())
+        if use_packed and attn_edit is None and not capture_probs:
+            # transpose-free fused kernel straight off the packed
+            # projection (inference fast path; see ops/attention.py).
+            # NOTE: packed layout is [3][H][D] along the feature axis.
+            from ..ops.attention import fused_qkv_attention
+
+            out = fused_qkv_attention(qkv, h, scale)
+            out = nn.Dense(c, dtype=self.dtype, kernel_init=dense_init,
+                           name="proj")(out)
+            return out
+
         qkv = qkv.reshape(b, l, 3, h, d).transpose(2, 0, 3, 1, 4)  # 3,B,H,L,D
         q, k, v = qkv[0], qkv[1], qkv[2]
 

@@ -1,0 +1,53 @@
+"""Multi-host initialization and cross-host collectives.
+
+The reference scales out via ``accelerate launch --multi_gpu`` (NCCL
+process group, `/root/reference/README.md:76`). The TPU-native
+equivalent: ``jax.distributed.initialize()`` per host (coordinator from
+env/args), one global mesh over all chips, per-host input pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX. No-op on a single process (also when
+    already initialized). On TPU pods the arguments auto-detect from the
+    environment."""
+    if num_processes == 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # already initialized, or single-process environment
+        pass
+
+
+def process_allgather(x) -> np.ndarray:
+    """Gather per-host arrays to every host (the reference's
+    ``accelerator.gather`` for sampled images, tools/utils_uvit.py:277)."""
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    return np.asarray(multihost_utils.process_allgather(x))
+
+
+def barrier(name: str = "barrier") -> None:
+    """Cross-host sync (reference ``wait_for_everyone``)."""
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() > 1:
+        multihost_utils.sync_global_devices(name)

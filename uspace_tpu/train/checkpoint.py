@@ -88,12 +88,24 @@ def load_pretrained_nnet(
     """Initialize denoiser params from a reference torch checkpoint.
 
     surgery:
-      - None: strict load
+      - None: strict load (U-ViT family)
       - "nnet_only": drop label_emb + pos_embed (utils_uvit.py:140-155)
       - "mscoco_or_in256": drop pos_embed (utils_uvit.py:156-166)
+      - "unet": SD/guided-diffusion UNet checkpoint
+      - "unet_remove_attention": UNet, re-initialize cross-attention
+        (load_sd_unet_remove_attention, utils_uvit.py:168-209)
     Dropped keys keep their fresh initialization.
     """
     sd = load_torch_checkpoint(path)
+    if surgery in ("unet", "unet_remove_attention"):
+        from ..codecs.convert import unet_torch_to_flax
+
+        converted = unet_torch_to_flax(
+            sd, drop_cross_attention=(surgery == "unet_remove_attention")
+        )
+        params = dict(init_params)
+        params["params"] = merge_params(converted, init_params["params"])
+        return params
     drop = ()
     if surgery == "nnet_only":
         drop = ("label_emb", "pos_embed")

@@ -193,12 +193,36 @@ class Experiment:
 
         steps = sample_steps or self.config.sample.sample_steps
         z = jax.random.normal(rng, (n, *z_shape_hwc(self.config)))
-        vf = make_velocity_fn(self.model, params, cond or {})
+        cfg_scale = float(self.config.sample.get("cfg_scale", 0.0) or 0.0)
+        cond = cond or {}
+        if cfg_scale > 0 and cond:
+            from ..evals.sampling import cfg_velocity_fn
+
+            vf = cfg_velocity_fn(self.model, params, cond,
+                                 self.null_cond(cond), cfg_scale)
+        else:
+            vf = make_velocity_fn(self.model, params, cond)
         return flow.decode(
             vf, z,
             {"solver": "fixed", "solver_fix": "euler",
              "solver_fix_step": 1.0 / steps},
         )
+
+    def null_cond(self, cond: Dict[str, Any]) -> Dict[str, Any]:
+        """Null conditioning for CFG: the dataset's empty CLIP context
+        (datasets.py empty_context.npy) or the learned null class K."""
+        null = {}
+        if cond.get("context") is not None:
+            empty = getattr(self.dataset, "empty_context", None)
+            if empty is not None:
+                e = jnp.asarray(empty)
+                null["context"] = jnp.broadcast_to(
+                    e[None], cond["context"].shape)
+            else:
+                null["context"] = jnp.zeros_like(cond["context"])
+        if cond.get("y") is not None and self.dataset.K:
+            null["y"] = jnp.full_like(cond["y"], self.dataset.K - 1)
+        return null
 
     def eval_cond(self, rng, n: int) -> Dict[str, Any]:
         """Conditioning for eval sampling, by mode."""
