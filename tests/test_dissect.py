@@ -170,3 +170,17 @@ class TestDissectT2I:
         run(cfg, wd)
         assert os.path.exists(wd + "/sampled_editing_sweep.png")
         assert os.path.exists(wd + "/captions.txt")
+
+
+class TestVisAttention:
+    def test_vis_attention_writes_heatmaps(self, tmp_path, t2i_feature_dir):
+        from uspace_tpu.cli.dissect_lfm_t2i import run
+
+        cfg = _t2i_config(t2i_feature_dir)
+        cfg.dissection.dissect_name = "vis_attention"
+        wd = str(tmp_path / "va")
+        run(cfg, wd)
+        import glob
+
+        pngs = glob.glob(wd + "/*.png")
+        assert pngs, os.listdir(wd)

@@ -196,6 +196,47 @@ def sampled_image_editing(config, session, vae_decode, workdir: str,
                  len(multipliers), n, out)
 
 
+def vis_attention(config, session, workdir: str) -> None:
+    """Per-token cross-attention heatmaps at chosen timesteps/blocks
+    (reference vis_attention_map, utils_t2i.py:141-193 — the reference
+    renders these mid-ODE; here one forward per requested timestep with
+    the probability-capture path)."""
+    from ..data.datasets import get_dataset
+    from ..editing.attention_edit import save_attention_maps, slice_context_attention
+    from ..train.step import make_velocity_fn, sample_from_moments
+
+    d = config.dissection
+    dataset = get_dataset(**dict(config.dataset))
+    split = "test" if getattr(dataset, "test", None) is not None else "train"
+    ds = dataset.get_split(split)
+    samples = [ds[i] for i in range(d.mini_batch_size)]
+    captions = [s.get("caption", "") for s in samples]
+    ctx = jnp.asarray(np.stack([s["context"] for s in samples]))
+    x = jnp.asarray(np.stack([s["x"] for s in samples]))
+    rng = jax.random.PRNGKey(config.seed)
+    if session.vae_sample is not None:
+        x = session.vae_sample(x, rng)
+    else:
+        from ..train.step import sample_from_moments as sfm
+
+        x = sfm(x, rng)
+    block_id = d.token_kwargs.get("target_block_id", -1)
+    blocks = (int(block_id),) if block_id not in (-1, None) else (0,)
+    n_img = (config.nnet.img_size // config.nnet.patch_size) ** 2
+    for t in (0.1, 0.5, 0.9):
+        vf = make_velocity_fn(
+            session.model, session.params, {"context": ctx},
+            capture_attn=blocks,
+        )
+        _, taps = vf(jnp.full((x.shape[0],), t), x)
+        for b in blocks:
+            ctx_attn = slice_context_attention(
+                taps[f"attn_{b}"], n_img, config.nnet.num_clip_token)
+            save_attention_maps(np.asarray(ctx_attn), workdir, captions,
+                                timestep=t, block_id=b)
+    logging.info("attention maps -> %s", workdir)
+
+
 def run(config, workdir: str) -> None:
     from .dissect_common import build_session
 
@@ -209,6 +250,8 @@ def run(config, workdir: str) -> None:
     elif name == "sampled_image_editing":
         sampled_image_editing(config, session, vae_decode, workdir, clip,
                               tokenizer)
+    elif name == "vis_attention":
+        vis_attention(config, session, workdir)
     else:
         raise NotImplementedError(f"dissect_name={name!r}")
 

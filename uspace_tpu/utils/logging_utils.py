@@ -69,3 +69,10 @@ class MetricsWriter:
                 f.write(json.dumps(rec) + "\n")
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
+
+
+def cnt_params(params) -> int:
+    """Total parameter count (reference utils_uvit.cnt_params)."""
+    import jax
+
+    return sum(x.size for x in jax.tree.leaves(params))
