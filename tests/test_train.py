@@ -125,3 +125,28 @@ class TestMeshSharding:
         for a, b in zip(l1, l2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestShardedSampling:
+    def test_sampler_shards_over_mesh(self, rng):
+        """The compiled ODE sampler must run with the batch sharded over
+        dp x fsdp (eval-time data parallelism)."""
+        from uspace_tpu.core import flow
+
+        model, tx, state, lr = _setup()
+        mesh = meshlib.create_mesh(dp=4, fsdp=2, tp=1)
+        b_sh = meshlib.batch_sharding(mesh)
+        p_sh = meshlib.params_shardings(state.params, mesh)
+        params = jax.device_put(state.params, p_sh)
+        z = jax.device_put(jax.random.normal(rng, (16, 8, 8, 4)), b_sh)
+
+        @jax.jit
+        def sample(params, z):
+            vf = lambda t, x: model.apply(params, x, t)[0]
+            return flow.decode(vf, z, {"solver": "fixed",
+                                       "solver_fix": "euler",
+                                       "solver_fix_step": 0.25})
+
+        out = sample(params, z)
+        assert out.shape == (16, 8, 8, 4)
+        assert np.isfinite(np.asarray(out)).all()

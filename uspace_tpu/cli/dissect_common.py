@@ -27,10 +27,20 @@ def load_nnet_params(config, model, init_args) -> dict:
     if not path:
         logging.warning("no ckpt_path_to_dissect; random weights (smoke mode)")
         return params
+    if os.path.isdir(path) and (path.endswith(".ckpt")
+                                or os.path.exists(os.path.join(path, "nnet_ema.pth"))):
+        # reference TrainState layout: {step}.ckpt/{nnet,nnet_ema,...}.pth
+        # (tools/utils_uvit.py:124-129); prefer the EMA weights
+        for name in ("nnet_ema.pth", "nnet.pth"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
     if path.endswith(".pth"):
         from ..train.checkpoint import load_pretrained_nnet
 
-        return load_pretrained_nnet(path, params)
+        surgery = ("unet" if config.nnet.name == "unet_t2i" else None)
+        return load_pretrained_nnet(path, params, surgery=surgery)
     # orbax: restore TrainState and take EMA params
     import orbax.checkpoint as ocp
 

@@ -41,6 +41,7 @@ def base_config() -> ml_collections.ConfigDict:
         save_interval=10_000,
         ema_rate=0.9999,
         grad_clip=-1.0,  # <=0: off
+        profile_dir=config_placeholder_str(),
         from_moments=True,  # batches carry VAE moments, resample per step
     )
     config.optimizer = d(

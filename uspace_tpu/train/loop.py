@@ -254,13 +254,19 @@ def train(config, workdir: Optional[str] = None) -> TrainState:
     data = exp.loader.infinite()
     rng = jax.random.fold_in(exp.rng, 1)
 
+    profile_dir = cfg.train.get("profile_dir", None)
     t_last = time.time()
     fid_by_step: Dict[int, float] = {}
     step = start_step
     while step < cfg.train.n_steps:
+        if profile_dir and step == start_step + 10:
+            jax.profiler.start_trace(profile_dir)
         batch = exp.put_batch(next(data))
         state, m = step_fn(state, batch, rng)
         step += 1
+        if profile_dir and step == start_step + 13:
+            jax.profiler.stop_trace()
+            logging.info("profile trace -> %s", profile_dir)
 
         if step % cfg.train.log_interval == 0 and is_main:
             dt = time.time() - t_last
