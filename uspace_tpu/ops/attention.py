@@ -44,6 +44,10 @@ except Exception:  # pragma: no cover
 
 Array = jax.Array
 
+# large-negative instead of -inf: exp(-inf - (-inf)) would NaN on fully
+# masked tiles (standard TPU flash-attention practice)
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
 
 def _on_tpu() -> bool:
     try:
@@ -95,7 +99,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
     lp = s.shape[-1]
     if seq_len < lp:  # mask padded key columns
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < seq_len, s, -jnp.inf)
+        s = jnp.where(col < seq_len, s, _MASK_VALUE)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -119,7 +123,7 @@ def _bwd_kernel(
     lp = s.shape[-1]
     if seq_len < lp:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < seq_len, s, -jnp.inf)
+        s = jnp.where(col < seq_len, s, _MASK_VALUE)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=-1, keepdims=True)
@@ -233,7 +237,7 @@ def _packed_fwd_kernel(qkv_ref, o_ref, *, scale, seq_len, num_heads, head_dim):
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        s = jnp.where(key_mask, s, -jnp.inf)
+        s = jnp.where(key_mask, s, _MASK_VALUE)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -333,7 +337,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, block_k):
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < seq_len, s, -jnp.inf)
+        s = jnp.where(col < seq_len, s, _MASK_VALUE)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
