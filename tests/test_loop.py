@@ -31,3 +31,34 @@ def test_train_loop_end_to_end(tmp_path):
     cfg.train.n_steps = 12
     state2 = train(cfg, wd)
     assert int(state2.step) == 12
+
+
+@pytest.mark.slow
+def test_train_loop_unet(tmp_path):
+    """The loop must also drive the SD-UNet family (uncond, zero-context
+    fallback)."""
+    from uspace_tpu.configs.common import base_config, d
+    from uspace_tpu.train.loop import train
+
+    cfg = base_config()
+    cfg.seed = 0
+    cfg.z_shape = (4, 8, 8)
+    cfg.compute_dtype = "float32"
+    cfg.vis_num = 2
+    cfg.train.n_steps = 3
+    cfg.train.batch_size = 8
+    cfg.train.log_interval = 1
+    cfg.train.eval_interval = 3
+    cfg.train.save_interval = 3
+    cfg.nnet = d(
+        name="unet_t2i", image_size=8, in_channels=4, out_channels=4,
+        model_channels=16, attention_resolutions=[2], num_res_blocks=1,
+        channel_mult=[1, 2], num_head_channels=8,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=8,
+    )
+    cfg.dataset = d(name="synthetic", num=8, shape=(8, 8, 8))
+    cfg.dl.num_workers = 1
+    cfg.sample.sample_steps = 2
+    cfg.sample.mini_batch_size = 2
+    state = train(cfg, str(tmp_path / "unet_run"))
+    assert int(state.step) == 3

@@ -251,3 +251,34 @@ class TestPackedAttention:
         g1 = jax.grad(lambda q: (fused_qkv_attention(q, 4) ** 2).sum())(qkv)
         g2 = jax.grad(lambda q: (_packed_xla(q, 4, 16**-0.5) ** 2).sum())(qkv)
         np.testing.assert_allclose(g1, g2, rtol=2e-3, atol=2e-3)
+
+    def test_qkvproj_fused_matches_standard(self, rng):
+        """Fully fused (projection inside kernel) path must match the
+        standard path, with identical parameter trees."""
+        from uspace_tpu.models.layers import Attention
+
+        x = jax.random.normal(rng, (2, 90, 64)) * 0.5
+        a_std = Attention(num_heads=4, attn_impl="xla")
+        a_fz = Attention(num_heads=4, attn_impl="pallas_qkvproj")
+        p_std = a_std.init(rng, x)
+        p_fz = a_fz.init(jax.random.fold_in(rng, 1), x)
+        assert jax.tree_util.tree_structure(p_std) == \
+            jax.tree_util.tree_structure(p_fz)
+        o1 = a_std.apply(p_std, x)
+        o2 = a_fz.apply(p_std, x)
+        np.testing.assert_allclose(o1, o2, rtol=2e-3, atol=2e-3)
+
+    def test_qkvproj_gradients(self, rng):
+        from uspace_tpu.ops.attention import (
+            _qkvproj_xla,
+            fused_qkvproj_attention,
+        )
+
+        x = jax.random.normal(rng, (2, 70, 32)) * 0.4
+        w = jax.random.normal(jax.random.fold_in(rng, 1), (32, 96)) * 0.1
+        g1 = jax.grad(lambda a, w: (fused_qkvproj_attention(a, w, 4) ** 2
+                                    ).sum(), argnums=(0, 1))(x, w)
+        g2 = jax.grad(lambda a, w: (_qkvproj_xla(a, w, 4, 8**-0.5) ** 2
+                                    ).sum(), argnums=(0, 1))(x, w)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)

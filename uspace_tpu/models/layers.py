@@ -78,6 +78,20 @@ def unpatchify(x: Array, channels: int) -> Array:
 dense_init = nn.initializers.truncated_normal(stddev=0.02)  # timm trunc_normal_
 
 
+class _DenseKernel(nn.Module):
+    """Creates (and returns) a Dense kernel at the identical param path
+    nn.Dense would — used when a fused kernel consumes the weight
+    directly instead of calling the XLA matmul."""
+
+    features: int
+    kernel_init: Any = dense_init
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param("kernel", self.kernel_init,
+                          (in_features, self.features), jnp.float32)
+
+
 class Mlp(nn.Module):
     """Transformer MLP (reference `libs/timm.py:96-112`)."""
 
@@ -119,22 +133,34 @@ class Attention(nn.Module):
         h = self.num_heads
         d = c // h
         scale = self.qk_scale or d**-0.5
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=dense_init, name="qkv")(x)
 
-        use_packed = self.attn_impl == "pallas_packed" or (
-            self.attn_impl == "auto" and _packed_ok())
-        if use_packed and attn_edit is None and not capture_probs:
-            # transpose-free fused kernel straight off the packed
-            # projection (inference fast path; see ops/attention.py).
-            # NOTE: packed layout is [3][H][D] along the feature axis.
-            from ..ops.attention import fused_qkv_attention
+        use_fused = self.attn_impl in ("pallas_packed", "pallas_qkvproj") \
+            or (self.attn_impl == "auto" and _packed_ok())
+        if use_fused and attn_edit is None and not capture_probs:
+            from ..ops.attention import (
+                fused_qkv_attention,
+                fused_qkvproj_attention,
+            )
 
-            out = fused_qkv_attention(qkv, h, scale)
+            if not self.qkv_bias:
+                # fully fused: QKV projection happens inside the kernel;
+                # the [B, L, 3C] intermediate never touches HBM. The
+                # kernel param is created at the same tree path as
+                # nn.Dense(name="qkv") would, so checkpoints interop.
+                kernel = _DenseKernel(3 * c, name="qkv")(c)
+                out = fused_qkvproj_attention(
+                    x, kernel.astype(self.dtype), h, scale)
+            else:
+                # packed projection + transpose-free attention kernel
+                qkv_p = nn.Dense(3 * c, use_bias=True, dtype=self.dtype,
+                                 kernel_init=dense_init, name="qkv")(x)
+                out = fused_qkv_attention(qkv_p, h, scale)
             out = nn.Dense(c, dtype=self.dtype, kernel_init=dense_init,
                            name="proj")(out)
             return out
 
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=dense_init, name="qkv")(x)
         qkv = qkv.reshape(b, l, 3, h, d).transpose(2, 0, 3, 1, 4)  # 3,B,H,L,D
         q, k, v = qkv[0], qkv[1], qkv[2]
 

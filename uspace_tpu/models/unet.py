@@ -43,8 +43,12 @@ zero_init = nn.initializers.zeros
 
 def group_norm(x, name):
     # GroupNorm32: fp32 normalization, 32 groups, eps 1e-5
-    # (libs/sd/util.py:238-240; torch GroupNorm default eps)
-    return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)(
+    # (libs/sd/util.py:238-240; torch GroupNorm default eps).
+    # Group count degrades gracefully for narrow (test-scale) channels.
+    import math
+
+    groups = math.gcd(32, x.shape[-1])
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name)(
         x.astype(jnp.float32)
     ).astype(x.dtype)
 

@@ -319,6 +319,126 @@ def fused_qkv_attention(
 
 
 # ---------------------------------------------------------------------------
+# Fully fused QKV-projection + attention kernel
+# ---------------------------------------------------------------------------
+#
+# One more HBM round-trip eliminated: the [B, L, 3C] QKV tensor. The
+# kernel takes the *pre-projection* activations and the fused QKV weight,
+# DMAs the weight into VMEM once (it stays resident across the
+# sequential batch grid), and computes projection + per-head attention
+# in one program. Ablation on v5e showed the attention path costing
+# ~2.4x its FLOP share — this recovers the QKV-tensor traffic.
+
+
+def _qkv_attn_kernel(x_ref, w_ref, o_ref, w_vmem, sem, *, scale, seq_len,
+                     num_heads, head_dim):
+    @pl.when(pl.program_id(0) == 0)
+    def _load_weights():
+        cp = pltpu.make_async_copy(w_ref, w_vmem, sem)
+        cp.start()
+        cp.wait()
+
+    x = x_ref[0]  # [Lp, C]
+    qkv = jax.lax.dot_general(
+        x, w_vmem[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # [Lp, 3C]
+    h, d = num_heads, head_dim
+    lp = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    key_mask = col < seq_len
+    for i in range(h):
+        q = qkv[:, i * d:(i + 1) * d]
+        k = qkv[:, (h + i) * d:(h + i + 1) * d]
+        v = qkv[:, (2 * h + i) * d:(2 * h + i + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(key_mask, s, _MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        o_ref[0, :, i * d:(i + 1) * d] = o.astype(o_ref.dtype)
+
+
+def _qkv_attn_call(x, w_qkv, num_heads, scale, interpret):
+    b, l, c = x.shape
+    h = num_heads
+    d = c // h
+    lp = _round_up(l, 128)
+    xp = x if lp == l else jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    w = w_qkv.astype(x.dtype)
+    if interpret or not _HAS_PLTPU:
+        vmem, anyspace = None, None
+    else:
+        vmem, anyspace = pltpu.VMEM, pltpu.ANY
+    out = pl.pallas_call(
+        functools.partial(_qkv_attn_kernel, scale=scale, seq_len=l,
+                          num_heads=h, head_dim=d),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0), memory_space=vmem),
+            pl.BlockSpec(memory_space=anyspace),  # weights stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((b, lp, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, 3 * c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, w)
+    return out[:, :l]
+
+
+def _qkvproj_xla(x, w_qkv, num_heads, scale):
+    qkv = x @ w_qkv.astype(x.dtype)
+    return _packed_xla(qkv, num_heads, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _qkv_attn(x, w_qkv, num_heads: int, scale: float, interpret: bool):
+    return _qkv_attn_call(x, w_qkv, num_heads, scale, interpret)
+
+
+def _qkv_attn_fwd(x, w_qkv, num_heads, scale, interpret):
+    return _qkv_attn_call(x, w_qkv, num_heads, scale, interpret), (x, w_qkv)
+
+
+def _qkv_attn_bwd(num_heads, scale, interpret, res, g):
+    x, w_qkv = res
+    _, vjp = jax.vjp(lambda a, w: _qkvproj_xla(a, w, num_heads, scale),
+                     x, w_qkv)
+    return vjp(g)
+
+
+_qkv_attn.defvjp(_qkv_attn_fwd, _qkv_attn_bwd)
+
+
+def fused_qkvproj_attention(
+    x: Array, w_qkv: Array, num_heads: int,
+    scale: Optional[float] = None, interpret: Optional[bool] = None,
+) -> Array:
+    """x [B, L, C] (post-LN) and fused QKV weight [C, 3C] ->
+    attention output [B, L, C] (pre out-projection). The QKV projection
+    happens inside the kernel; the [B, L, 3C] intermediate never touches
+    HBM. Differentiable (backward recomputes via XLA)."""
+    c = x.shape[-1]
+    d = c // num_heads
+    if scale is None:
+        scale = float(d) ** -0.5
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _qkv_attn(x, w_qkv, num_heads, scale, interpret)
+
+
+# ---------------------------------------------------------------------------
 # Blocked flash attention (online softmax) for long sequences
 # ---------------------------------------------------------------------------
 
