@@ -282,3 +282,52 @@ class TestPackedAttention:
                                     ).sum(), argnums=(0, 1))(x, w)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+
+class TestFusedAttnBlock:
+    def test_block_fused_matches_standard(self, rng):
+        """pallas_block path (LN+qkv+attn+proj+residual in one kernel)
+        must match the standard Block, same param tree."""
+        from uspace_tpu.models.layers import Block
+
+        x = jax.random.normal(rng, (2, 90, 64)) * 0.5
+        b_std = Block(num_heads=4, attn_impl="xla")
+        b_fz = Block(num_heads=4, attn_impl="pallas_block")
+        p_std = b_std.init(rng, x)
+        p_fz = b_fz.init(jax.random.fold_in(rng, 1), x)
+        assert jax.tree_util.tree_structure(p_std) == \
+            jax.tree_util.tree_structure(p_fz)
+        o1 = b_std.apply(p_std, x)
+        o2 = b_fz.apply(p_std, x)
+        np.testing.assert_allclose(o1, o2, rtol=3e-3, atol=3e-3)
+
+    def test_block_fused_gradients(self, rng):
+        from uspace_tpu.models.layers import Block
+
+        x = jax.random.normal(rng, (1, 70, 32)) * 0.4
+        b_std = Block(num_heads=4, attn_impl="xla")
+        b_fz = Block(num_heads=4, attn_impl="pallas_block")
+        params = b_std.init(rng, x)
+
+        def loss(mod):
+            return lambda p: (mod.apply(p, x) ** 2).sum()
+
+        g1 = jax.grad(loss(b_std))(params)
+        g2 = jax.grad(loss(b_fz))(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
+    def test_block_fused_in_uvit(self, rng):
+        """Whole UViT with the fused block path matches the xla path."""
+        from uspace_tpu.models import UViT
+
+        kw = dict(img_size=16, patch_size=2, in_chans=4, embed_dim=64,
+                  depth=4, num_heads=4)
+        m1 = UViT(attn_impl="xla", **kw)
+        m2 = UViT(attn_impl="pallas_block", **kw)
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        tt = jnp.full((2,), 0.5)
+        params = m1.init(rng, x, tt)
+        v1, _ = m1.apply(params, x, tt)
+        v2, _ = m2.apply(params, x, tt)
+        np.testing.assert_allclose(v1, v2, rtol=3e-3, atol=3e-3)

@@ -79,17 +79,43 @@ dense_init = nn.initializers.truncated_normal(stddev=0.02)  # timm trunc_normal_
 
 
 class _DenseKernel(nn.Module):
-    """Creates (and returns) a Dense kernel at the identical param path
-    nn.Dense would — used when a fused kernel consumes the weight
+    """Creates (and returns) Dense params at the identical tree path
+    nn.Dense would — used when a fused kernel consumes the weights
     directly instead of calling the XLA matmul."""
 
     features: int
+    use_bias: bool = False
     kernel_init: Any = dense_init
 
     @nn.compact
     def __call__(self, in_features: int):
-        return self.param("kernel", self.kernel_init,
-                          (in_features, self.features), jnp.float32)
+        k = self.param("kernel", self.kernel_init,
+                       (in_features, self.features), jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            return k, b
+        return k
+
+
+class _LNParams(nn.Module):
+    """LayerNorm params at nn.LayerNorm's tree path, for fused kernels."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        s = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return s, b
+
+
+class _AttnParams(nn.Module):
+    """qkv/proj params under the Attention module's scope."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        wqkv = _DenseKernel(3 * c, name="qkv")(c)
+        wproj, bproj = _DenseKernel(c, use_bias=True, name="proj")(c)
+        return wqkv, wproj, bproj
 
 
 class Mlp(nn.Module):
@@ -215,19 +241,40 @@ class Block(nn.Module):
                          name="skip_linear")(
                 jnp.concatenate([x, skip], axis=-1)
             )
-        attn = Attention(
-            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-            qk_scale=self.qk_scale, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attn",
+
+        # whole-sub-block fusion: LN1 + qkv + attention + proj + residual
+        # in one Pallas program. Opt-in only ("pallas_block"): measured
+        # SLOWER than the qkvproj kernel end-to-end (14.25 vs 15.40
+        # img/s) — mega-fusion defeats XLA's cross-block pipelining.
+        use_block_fused = (
+            attn_edit is None and not capture_probs and not self.qkv_bias
+            and self.attn_impl == "pallas_block"
         )
-        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         probs = None
-        if capture_probs:
-            a, probs = attn(h, t=t, attn_edit=attn_edit, block_id=block_id,
-                            capture_probs=True)
+        if use_block_fused:
+            from ..ops.attention import fused_attention_block
+
+            ln_s, ln_b = _LNParams(name="norm1")(c)
+            wqkv, wproj, bproj = _AttnParams(name="attn")(c)
+            d = c // self.num_heads
+            x = fused_attention_block(
+                x.astype(self.dtype), ln_s, ln_b, wqkv, wproj, bproj,
+                self.num_heads, scale=self.qk_scale or d**-0.5, eps=LN_EPS,
+            )
         else:
-            a = attn(h, t=t, attn_edit=attn_edit, block_id=block_id)
-        x = x + a
+            attn = Attention(
+                num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, dtype=self.dtype,
+                attn_impl=self.attn_impl, name="attn",
+            )
+            h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                             name="norm1")(x)
+            if capture_probs:
+                a, probs = attn(h, t=t, attn_edit=attn_edit,
+                                block_id=block_id, capture_probs=True)
+            else:
+                a = attn(h, t=t, attn_edit=attn_edit, block_id=block_id)
+            x = x + a
         x = x + Mlp(hidden_dim=int(c * self.mlp_ratio), dtype=self.dtype,
                     name="mlp")(
             nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)

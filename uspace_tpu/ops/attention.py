@@ -439,6 +439,168 @@ def fused_qkvproj_attention(
 
 
 # ---------------------------------------------------------------------------
+# Whole-attention-sub-block kernel: LN + QKV proj + attention + out proj
+# + residual, one program per batch element
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, wproj_ref,
+                       bproj_ref, o_ref, wqkv_v, wproj_v, qkv_buf,
+                       sem, *, scale, seq_len, num_heads, head_dim, eps):
+    @pl.when(pl.program_id(0) == 0)
+    def _load_weights():
+        cp1 = pltpu.make_async_copy(wqkv_ref, wqkv_v, sem)
+        cp1.start()
+        cp1.wait()
+        cp2 = pltpu.make_async_copy(wproj_ref, wproj_v, sem)
+        cp2.start()
+        cp2.wait()
+
+    x = x_ref[0]  # [Lp, C] (bf16 — kept narrow; VMEM is the constraint)
+    # LN statistics in f32 (row-wise scalars), elementwise math in bf16:
+    # a full f32 copy of x would not fit the VMEM stack budget
+    xf32sum = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+    mu = xf32sum / x.shape[-1]
+    var = (jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                   keepdims=True) / x.shape[-1]) - jnp.square(mu)
+    inv = (jax.lax.rsqrt(var + eps) * 1.0).astype(x.dtype)
+    xln = ((x - mu.astype(x.dtype)) * inv * lns_ref[0] + lnb_ref[0])
+    # project in three column slices into the bf16 scratch: Mosaic
+    # requires f32 matmul outputs, and a full [Lp, 3C] f32 transient
+    # would blow the VMEM stack budget
+    c = x.shape[-1]
+    for j in range(3):
+        part = jax.lax.dot_general(
+            xln, wqkv_v[:, j * c:(j + 1) * c], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qkv_buf[:, j * c:(j + 1) * c] = part.astype(qkv_buf.dtype)
+    qkv = qkv_buf
+    h, d = num_heads, head_dim
+    lp = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    key_mask = col < seq_len
+    for i in range(h):
+        q = qkv[:, i * d:(i + 1) * d]
+        k = qkv[:, (h + i) * d:(h + i + 1) * d]
+        v = qkv[:, (2 * h + i) * d:(2 * h + i + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(key_mask, s, _MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        # q_i is dead once head i is computed: reuse its slot in the
+        # qkv buffer as the per-head output store (saves a scratch)
+        qkv_buf[:, i * d:(i + 1) * d] = o.astype(qkv_buf.dtype)
+    out = jax.lax.dot_general(
+        qkv_buf[:, 0:h * d], wproj_v[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[0].astype(jnp.float32)
+    o_ref[0] = x + out.astype(o_ref.dtype)  # residual (bf16 add)
+
+
+def _attn_block_call(x, ln_scale, ln_bias, w_qkv, w_proj, b_proj,
+                     num_heads, scale, eps, interpret):
+    b, l, c = x.shape
+    h = num_heads
+    d = c // h
+    lp = _round_up(l, 128)
+    xp = x if lp == l else jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    cast = x.dtype
+    vmem = None if interpret else pltpu.VMEM
+    anyspace = None if interpret else pltpu.ANY
+    row = lambda a: a.reshape(1, -1).astype(cast)
+    out = pl.pallas_call(
+        functools.partial(_attn_block_kernel, scale=scale, seq_len=l,
+                          num_heads=h, head_dim=d, eps=eps),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0), memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),  # ln scale (1, C)
+            pl.BlockSpec(memory_space=vmem),  # ln bias
+            pl.BlockSpec(memory_space=anyspace),  # w_qkv (HBM)
+            pl.BlockSpec(memory_space=anyspace),  # w_proj (HBM)
+            pl.BlockSpec(memory_space=vmem),  # b_proj
+        ],
+        out_specs=pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((b, lp, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, 3 * c), cast),
+            pltpu.VMEM((c, c), cast),
+            pltpu.VMEM((lp, 3 * c), cast),  # qkv buffer (q slots reused
+                                            # as per-head output store)
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, row(ln_scale), row(ln_bias), w_qkv.astype(cast),
+      w_proj.astype(cast), row(b_proj))
+    return out[:, :l]
+
+
+def _attn_block_xla(x, ln_scale, ln_bias, w_qkv, w_proj, b_proj,
+                    num_heads, scale, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = jnp.square(xf).mean(-1, keepdims=True) - jnp.square(mu)
+    xln = ((xf - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+           ).astype(x.dtype)
+    attn = _qkvproj_xla(xln, w_qkv, num_heads, scale)
+    return x + (attn @ w_proj.astype(attn.dtype)
+                + b_proj.astype(attn.dtype)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _attn_block(x, ln_scale, ln_bias, w_qkv, w_proj, b_proj,
+                num_heads, scale, eps, interpret):
+    return _attn_block_call(x, ln_scale, ln_bias, w_qkv, w_proj, b_proj,
+                            num_heads, scale, eps, interpret)
+
+
+def _attn_block_fwd(x, ln_scale, ln_bias, w_qkv, w_proj, b_proj,
+                    num_heads, scale, eps, interpret):
+    out = _attn_block_call(x, ln_scale, ln_bias, w_qkv, w_proj, b_proj,
+                           num_heads, scale, eps, interpret)
+    return out, (x, ln_scale, ln_bias, w_qkv, w_proj, b_proj)
+
+
+def _attn_block_bwd(num_heads, scale, eps, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _attn_block_xla(*a, num_heads, scale, eps), *res)
+    return vjp(g)
+
+
+_attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)
+
+
+def fused_attention_block(
+    x: Array, ln_scale: Array, ln_bias: Array, w_qkv: Array,
+    w_proj: Array, b_proj: Array, num_heads: int,
+    scale: Optional[float] = None, eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """The complete pre-norm attention sub-block in one kernel:
+    ``x + proj(attention(qkv(LN(x))))``. Neither the LN output, the
+    [B,L,3C] QKV tensor, nor the pre-projection attention output touch
+    HBM; weights are DMA'd to VMEM once per core. Differentiable via
+    XLA-recompute VJP."""
+    c = x.shape[-1]
+    if scale is None:
+        scale = float(c // num_heads) ** -0.5
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _attn_block(x, ln_scale, ln_bias, w_qkv, w_proj, b_proj,
+                       num_heads, scale, eps, interpret)
+
+
+# ---------------------------------------------------------------------------
 # Blocked flash attention (online softmax) for long sequences
 # ---------------------------------------------------------------------------
 
