@@ -88,3 +88,25 @@ class TestInceptionGraph:
                      for kp, v in
                      jax.tree_util.tree_flatten_with_path(conv)[0]}
         assert ref_paths == got_paths
+
+
+class TestFidPaths:
+    def test_fid_given_npz_paths(self, tmp_path, np_rng):
+        from uspace_tpu.evals.fid import fid_given_paths
+
+        a = np_rng.normal(size=(400, 16))
+        b = a + 0.5
+        for name, acts in (("a.npz", a), ("b.npz", b)):
+            mu, sigma = np.mean(acts, 0), np.cov(acts, rowvar=False)
+            np.savez(tmp_path / name, mu=mu, sigma=sigma)
+        d_same = fid_given_paths(str(tmp_path / "a.npz"), str(tmp_path / "a.npz"))
+        d_diff = fid_given_paths(str(tmp_path / "a.npz"), str(tmp_path / "b.npz"))
+        assert abs(d_same) < 1e-6
+        assert d_diff > 1.0  # 16 * 0.25 = 4 expected
+        np.testing.assert_allclose(d_diff, 16 * 0.25, rtol=0.05)
+
+    def test_featurizer_requires_weights(self):
+        from uspace_tpu.evals.fid import InceptionFeaturizer
+
+        with pytest.raises(FileNotFoundError, match="pt_inception"):
+            InceptionFeaturizer("/nonexistent/weights.pth")
