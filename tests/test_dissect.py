@@ -184,3 +184,25 @@ class TestVisAttention:
 
         pngs = glob.glob(wd + "/*.png")
         assert pngs, os.listdir(wd)
+
+
+class TestProvenance:
+    def test_update_config_derives_paths(self, t2i_feature_dir):
+        from uspace_tpu.configs.provenance import (
+            epoch_id_from_path,
+            solver_desc,
+            update_config,
+        )
+
+        cfg = _t2i_config(t2i_feature_dir)
+        cfg.dataset.name = "mscoco256_features"
+        cfg.dissection.dissect_name = "write_attr"
+        cfg.dissection.ckpt_path_to_dissect = "workdir/x/ckpts/130000.ckpt/nnet.pth"
+        cfg.dissection.vis_path = None
+        cfg.dissection.read_path_root = None
+        update_config(cfg)
+        assert "ep130000" in cfg.dissection.vis_path
+        assert "euler_step0.25" in cfg.dissection.read_path_root
+        assert epoch_id_from_path("a/ckpts/500") == 500
+        assert solver_desc({"solver": "adaptive",
+                            "solver_adaptive": "dopri5"}) == "dopri5"

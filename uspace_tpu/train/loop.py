@@ -67,11 +67,19 @@ class Experiment:
             process_count=jax.process_count(),
         )
 
-        # model + state
-        self.model = get_nnet(
-            config.nnet.name,
-            **nnet_kwargs(config.nnet, config.get("compute_dtype")),
-        )
+        # model + state. Two views over the SAME parameters: training
+        # prefers the packed kernel (its VJP does not recompute the QKV
+        # projection), sampling prefers the fully fused projection kernel
+        # (selected by "auto" on TPU). Param trees are identical.
+        kw = nnet_kwargs(config.nnet, config.get("compute_dtype"))
+        self.model = get_nnet(config.nnet.name, **kw)
+        if ("attn_impl" not in config.nnet
+                and config.nnet.name != "unet_t2i"
+                and jax.default_backend() == "tpu"):
+            self.train_model = get_nnet(config.nnet.name, **kw,
+                                        attn_impl="pallas_packed")
+        else:
+            self.train_model = self.model
         rng = jax.random.PRNGKey(config.seed)
         self.rng = rng
         z_hwc = z_shape_hwc(config)
@@ -146,7 +154,7 @@ class Experiment:
     def train_step_fn(self):
         if self._train_step is None:
             step = make_train_step(
-                self.model,
+                self.train_model,
                 self.tx,
                 sigma_min=self.config.dynamic.sigma_min,
                 ema_rate=self.config.train.get("ema_rate", 0.9999),
