@@ -206,3 +206,23 @@ class TestProvenance:
         assert epoch_id_from_path("a/ckpts/500") == 500
         assert solver_desc({"solver": "adaptive",
                             "solver_adaptive": "dopri5"}) == "dopri5"
+
+
+class TestFixedZEditing:
+    def test_write_with_fixed_z_from_read(self, tmp_path, cond_feature_dir):
+        """Real-image editing: steer from inverted latents of real images
+        (fixed_z_path='from_read') instead of fresh noise."""
+        from uspace_tpu.cli.dissect_lfm import run
+
+        cfg = _uncond_config(cond_feature_dir)
+        cfg.dissection.read_path_root = str(tmp_path / "read")
+        wd = str(tmp_path / "out")
+        cfg.dissection.dissect_name = "read"
+        run(cfg, wd)
+        cfg.dissection.dissect_name = "build_attr"
+        run(cfg, wd)
+        cfg.dissection.dissect_name = "write_attr"
+        cfg.dissection.ith_attr = 0
+        cfg.dissection.fixed_z_path = "from_read"
+        run(cfg, wd)
+        assert os.path.exists(wd + "/write_attr_sweep.png")

@@ -87,7 +87,17 @@ def run(config, workdir: str) -> None:
         z_hwc = z_shape_hwc(config)
         fixed_z = None
         if d.get("fixed_z_path"):
-            fixed_z = jnp.asarray(np.load(d.fixed_z_path))
+            # raw .npy of latents, a read-phase .npz (its 'latent' key),
+            # or the literal "from_read" for this config's read artifact —
+            # the real-image-editing workflow (reference fixed_z_path,
+            # utils_vis.py:180-187)
+            fz = d.fixed_z_path
+            if fz == "from_read":
+                fz = _read_path(config)
+            loaded = np.load(fz)
+            if hasattr(loaded, "files"):
+                loaded = loaded["latent"]
+            fixed_z = jnp.asarray(loaded)
         if name == "write_x0":
             # z-space steering: z + scale * delta_z, then plain decode
             # (reference move_delta_z, utils_vis.py:120-135)
