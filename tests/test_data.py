@@ -146,3 +146,19 @@ class TestLoader:
         dl = DataLoader(ds, batch_size=2, num_workers=1)
         b = next(iter(dl))
         assert isinstance(b["caption"], list) and len(b["caption"]) == 2
+
+    def test_abandoned_epoch_does_not_deadlock(self):
+        """Consumer abandoning an epoch early must release the producer."""
+        import threading
+        import time as _time
+
+        ds = SyntheticFeatures(num=64, shape=(2, 2, 2))
+        dl = DataLoader(ds, batch_size=2, num_workers=2, prefetch=1)
+        before = threading.active_count()
+        for _ in range(5):
+            it = dl.epoch(0)
+            next(it)  # take one batch, abandon the rest
+            it.close()
+        _time.sleep(1.0)
+        # no accumulation of blocked producer threads
+        assert threading.active_count() <= before + 1

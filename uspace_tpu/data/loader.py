@@ -86,6 +86,17 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that aborts if the consumer went away (an
+            # abandoned epoch must not leave the producer blocked forever)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(n_batches):
@@ -93,8 +104,9 @@ class DataLoader:
                         return
                     ids = shard[b * self.batch_size:(b + 1) * self.batch_size]
                     samples = list(pool.map(self.dataset.__getitem__, ids))
-                    q.put(_stack(samples))
-            q.put(None)
+                    if not _put(_stack(samples)):
+                        return
+            _put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
