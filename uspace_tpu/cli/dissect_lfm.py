@@ -117,11 +117,13 @@ def run(config, workdir: str) -> None:
             mode = name.split("_")[1]
             dirs = np.load(_directions_path(config, mode))
             grid_all = jnp.asarray(dirs["directions"])  # [T, A|K, ...]
+            grid_t0 = float(dirs["t_grid"][0]) if "t_grid" in dirs else 0.0
             ith = d.ith_attr if mode == "attr" else d.ith_component
             delta_grid = select_direction(grid_all, ith)
             n = min(d.n_samples, d.mini_batch_size)
             sweep = session.write_sweep(
                 delta_grid, list(d.write_scales), n,
+                grid_t0=grid_t0,
                 loc=d.get("edit_loc") or "mid",
                 t_edit=float(d.t_edit) if not isinstance(d.t_edit, str) else 1.0,
                 gate_mode="every" if (isinstance(d.t_edit, str)

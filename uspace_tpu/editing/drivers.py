@@ -150,6 +150,7 @@ class DissectSession:
         t_edit: float = 1.0,
         gate_mode: str = "le",
         grid_dt: Optional[float] = None,
+        grid_t0: float = 0.0,
         cond: Optional[Dict] = None,
         fixed_z: Optional[Array] = None,
         rng: Optional[Array] = None,
@@ -167,7 +168,8 @@ class DissectSession:
         gd = grid_dt or self.solver_kwargs.get("solver_fix_step", 0.01)
         edit0 = USpaceEdit(
             delta_grid=jnp.asarray(delta_grid), scale=jnp.float32(0.0),
-            grid_dt=gd, t_edit=t_edit, gate_mode=gate_mode, loc=loc,
+            grid_dt=gd, grid_t0=grid_t0, t_edit=t_edit,
+            gate_mode=gate_mode, loc=loc,
         )
 
         @jax.jit

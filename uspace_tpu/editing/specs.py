@@ -37,16 +37,18 @@ from flax import struct
 Array = jax.Array
 
 
-def interp_grid(grid: Array, t: Array, grid_dt: float) -> Array:
+def interp_grid(grid: Array, t: Array, grid_dt: float,
+                grid_t0: float = 0.0) -> Array:
     """Linearly interpolate a per-timestep grid ``[n, ...]`` at time ``t``.
 
-    grid[i] is the delta recorded at t = i * grid_dt. On-grid times return
-    the exact entry; off-grid times (adaptive solvers) lerp between
+    grid[i] is the delta recorded at t = grid_t0 + i * grid_dt (encode-
+    phase captures start at t = dt, not 0). On-grid times return the
+    exact entry; off-grid times (adaptive solvers) lerp between
     neighbors — the on-device equivalent of ``interp_ode_unet``
     (dissection.py:73-112).
     """
     n = grid.shape[0]
-    pos = jnp.clip(t / grid_dt, 0.0, n - 1.0)
+    pos = jnp.clip((t - grid_t0) / grid_dt, 0.0, n - 1.0)
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, n - 1)
     w = (pos - lo.astype(pos.dtype)).astype(grid.dtype)
@@ -88,6 +90,7 @@ class USpaceEdit:
     delta_grid: Array  # [n_grid, ...] one delta per grid time (no batch dim)
     scale: Array  # scalar write_scale (traced: scale sweeps vmap over it)
     grid_dt: float = struct.field(pytree_node=False, default=0.01)
+    grid_t0: float = struct.field(pytree_node=False, default=0.0)
     t_edit: float = struct.field(pytree_node=False, default=1.0)
     gate_mode: str = struct.field(pytree_node=False, default="le")
     gate_period: float = struct.field(pytree_node=False, default=0.1)
@@ -95,7 +98,7 @@ class USpaceEdit:
 
     def apply(self, x: Array, t: Array) -> Array:
         """Apply at a tap point. ``x`` is [B, ...]; ``t`` a scalar time."""
-        delta = interp_grid(self.delta_grid, t, self.grid_dt)
+        delta = interp_grid(self.delta_grid, t, self.grid_dt, self.grid_t0)
         gate = schedule_gate(
             t, self.t_edit, self.gate_mode, self.gate_period, self.grid_dt
         )
