@@ -331,3 +331,24 @@ class TestFusedAttnBlock:
         v1, _ = m1.apply(params, x, tt)
         v2, _ = m2.apply(params, x, tt)
         np.testing.assert_allclose(v1, v2, rtol=3e-3, atol=3e-3)
+
+
+class TestRematEditCompat:
+    def test_t2i_remat_with_attn_edit(self, rng):
+        """Editing on a use_checkpoint model must not trace static
+        kwargs through jax.checkpoint (regression: TracerBoolConversion)."""
+        m = UViTT2I(img_size=8, patch_size=2, in_chans=4, embed_dim=32,
+                    depth=2, num_heads=4, clip_dim=16, num_clip_token=3,
+                    attn_impl="xla", use_checkpoint=True)
+        x = jnp.ones((2, 8, 8, 4))
+        t = jnp.full((2,), 0.4)
+        ctx = jnp.ones((2, 3, 16))
+        p = m.init(rng, x, t, ctx)
+        mult = p2p_col_mult(2, 20, jnp.array([[1, -1]] * 2), 3.0)
+        v, _ = m.apply(p, x, t, ctx,
+                       attn_edit=AttnEdit(col_mult=mult, t_edit=1.0))
+        v2, _ = m.apply(p, x, t, ctx)
+        assert float(jnp.abs(v - v2).max()) > 1e-6
+        # capture also works under use_checkpoint
+        _, taps = m.apply(p, x, t, ctx, capture_attn=(1,))
+        assert "attn_1" in taps

@@ -113,23 +113,26 @@ class UViTT2I(nn.Module):
         )
         x = x + pos_embed.astype(self.dtype)
 
-        block_cls = nn.remat(Block) if self.use_checkpoint else Block
-
-        def make_block(skip: bool, name: str):
-            return block_cls(
+        def make_block(skip: bool, name: str, use_remat: bool):
+            # remat only on the pure-array training path: static kwargs
+            # (block_id, capture flag) and edit pytrees must not be traced
+            # through jax.checkpoint
+            cls = nn.remat(Block) if use_remat else Block
+            return cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale, skip=skip,
                 dtype=self.dtype, attn_impl=self.attn_impl, name=name,
             )
 
-        def run(blk, x, skip, block_id):
+        def run(blk_args, x, skip, block_id):
             cap = block_id in capture_attn
+            plain = not cap and attn_edit is None
+            blk = make_block(*blk_args, use_remat=self.use_checkpoint and plain)
+            if plain:
+                # array-only call (remat-safe); attention editing inactive
+                return blk(x, skip) if skip is not None else blk(x)
             args = dict(t=t_scalar, attn_edit=attn_edit, block_id=block_id,
                         capture_probs=cap)
-            if self.use_checkpoint and not cap and attn_edit is None:
-                # pure-array fast path for remat
-                out = blk(x, skip) if skip is not None else blk(x)
-                return out
             out = blk(x, skip, **args) if skip is not None else blk(x, None, **args)
             if cap:
                 out, probs = out
@@ -139,11 +142,11 @@ class UViTT2I(nn.Module):
         block_id = 0
         skips = []
         for i in range(self.depth // 2):
-            x = run(make_block(False, f"in_blocks_{i}"), x, None, block_id)
+            x = run((False, f"in_blocks_{i}"), x, None, block_id)
             skips.append(x)
             block_id += 1
 
-        x = run(make_block(False, "mid_block"), x, None, block_id)
+        x = run((False, "mid_block"), x, None, block_id)
         block_id += 1
 
         if edit is not None and edit.loc == "mid":
@@ -152,7 +155,7 @@ class UViTT2I(nn.Module):
             taps["mid"] = x
 
         for i in range(self.depth // 2):
-            x = run(make_block(True, f"out_blocks_{i}"), x, skips.pop(), block_id)
+            x = run((True, f"out_blocks_{i}"), x, skips.pop(), block_id)
             block_id += 1
 
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
