@@ -254,15 +254,24 @@ class UNet(nn.Module):
                         else self.num_head_channels)
         return nh, dim_head
 
+    def _res_cls(self):
+        # per-block remat (counterpart of the reference's CheckpointFunction,
+        # libs/sd/util.py:122-168); ResBlock takes arrays only — remat-safe
+        return nn.remat(ResBlock) if self.use_checkpoint else ResBlock
+
     def _attn(self, ch: int, name: str):
         nh, dh = self._heads(ch)
         if self.use_spatial_transformer:
-            return SpatialTransformer(
+            cls = (nn.remat(SpatialTransformer) if self.use_checkpoint
+                   else SpatialTransformer)
+            return cls(
                 nh, dh, depth=self.transformer_depth, dtype=self.dtype,
                 attn_impl=self.attn_impl, name=name,
             )
-        return AttnBlockLegacy(nh, dtype=self.dtype, attn_impl=self.attn_impl,
-                               name=name)
+        cls = (nn.remat(AttnBlockLegacy) if self.use_checkpoint
+               else AttnBlockLegacy)
+        return cls(nh, dtype=self.dtype, attn_impl=self.attn_impl,
+                   name=name)
 
     @nn.compact
     def __call__(
@@ -303,7 +312,7 @@ class UNet(nn.Module):
         idx = 1
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
-                h = ResBlock(out_channels=mult * ch0,
+                h = self._res_cls()(out_channels=mult * ch0,
                              use_scale_shift_norm=self.use_scale_shift_norm,
                              dtype=self.dtype,
                              name=f"input_blocks_{idx}_0")(h, emb)
@@ -324,13 +333,13 @@ class UNet(nn.Module):
                 idx += 1
                 ds *= 2
 
-        h = ResBlock(use_scale_shift_norm=self.use_scale_shift_norm,
-                     dtype=self.dtype, name="middle_block_0")(h, emb)
+        h = self._res_cls()(use_scale_shift_norm=self.use_scale_shift_norm,
+                            dtype=self.dtype, name="middle_block_0")(h, emb)
         h = self._attn(ch, "middle_block_1")(h, context) \
             if self.use_spatial_transformer else \
             self._attn(ch, "middle_block_1")(h)
-        h = ResBlock(use_scale_shift_norm=self.use_scale_shift_norm,
-                     dtype=self.dtype, name="middle_block_2")(h, emb)
+        h = self._res_cls()(use_scale_shift_norm=self.use_scale_shift_norm,
+                            dtype=self.dtype, name="middle_block_2")(h, emb)
 
         if edit is not None and edit.loc == "mid":
             h = edit.apply(h, t_scalar)
@@ -341,7 +350,7 @@ class UNet(nn.Module):
         for level, mult in list(enumerate(self.channel_mult))[::-1]:
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResBlock(out_channels=ch0 * mult,
+                h = self._res_cls()(out_channels=ch0 * mult,
                              use_scale_shift_norm=self.use_scale_shift_norm,
                              dtype=self.dtype,
                              name=f"output_blocks_{idx}_0")(h, emb)
