@@ -198,3 +198,39 @@ class TestUViTParity:
         np.testing.assert_allclose(
             merged["in_blocks_0"]["attn"]["qkv"]["kernel"], ref_qkv
         )
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+class TestExportRoundTrip:
+    def test_uvit_export_reimports_into_reference(self):
+        """Train-here -> export -> load into the reference torch model:
+        outputs must match (the 'switch back' path)."""
+        import torch
+
+        from uspace_tpu.codecs.convert import uvit_flax_to_torch
+        from uspace_tpu.models import UViT
+
+        sys.path.insert(0, REF) if REF not in sys.path else None
+        import importlib
+
+        libs = importlib.import_module("libs.uvit")
+        m = UViT(img_size=16, patch_size=2, in_chans=4, embed_dim=64,
+                 depth=4, num_heads=4, attn_impl="xla")
+        x = np.random.default_rng(3).normal(size=(2, 4, 16, 16)).astype(np.float32)
+        t = np.array([0.2, 0.9], np.float32)
+        params = m.init(jax.random.PRNGKey(0),
+                        jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
+        v_ours, _ = m.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                            jnp.asarray(t))
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in uvit_flax_to_torch(params).items()}
+        ref_m = libs.UViT(img_size=16, patch_size=2, in_chans=4, embed_dim=64,
+                          depth=4, num_heads=4, num_classes=-1).eval()
+        missing, unexpected = ref_m.load_state_dict(sd, strict=True), None
+        with torch.no_grad():
+            v_ref, _ = ref_m(torch.from_numpy(x), torch.from_numpy(t),
+                             edit_loc=None)
+        np.testing.assert_allclose(
+            np.asarray(v_ours).transpose(0, 3, 1, 2), v_ref.numpy(),
+            rtol=2e-3, atol=2e-4,
+        )

@@ -18,6 +18,7 @@ across datasets — utils_uvit.py:140-166) are implemented as key filters.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
 
@@ -255,3 +256,58 @@ def unet_torch_to_flax(
 
     return convert_state_dict(state_dict, key_map,
                               embedding_keys=("label_emb",))
+
+
+# ---------------------------------------------------------------------------
+# Reverse conversion: Flax params -> torch state dict (export)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: Dict[str, Any], prefix: Tuple[str, ...] = ()
+             ) -> Dict[Tuple[str, ...], np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v)
+    return out
+
+
+def uvit_flax_to_torch(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Export U-ViT / U-ViT-T2I params to the reference's torch state-dict
+    format (inverse of :func:`uvit_torch_to_flax`) so models trained here
+    can be loaded back into the PyTorch stack."""
+    out = {}
+    for path, arr in _flatten(params.get("params", params)).items():
+        parts = list(path)
+        leaf = parts.pop()
+        base = ".".join(parts)
+        # flat module names back to torch's nested lists
+        base = re.sub(r"\bin_blocks_(\d+)", r"in_blocks.\1", base)
+        base = re.sub(r"\bout_blocks_(\d+)", r"out_blocks.\1", base)
+        base = base.replace("time_embed_fc1", "time_embed.0")
+        base = base.replace("time_embed_fc2", "time_embed.2")
+        if leaf == "kernel":
+            if arr.ndim == 4:
+                t = arr.transpose(3, 2, 0, 1)
+            else:
+                t = arr.T
+            out[f"{base}.weight"] = t
+        elif leaf == "scale":
+            out[f"{base}.weight"] = arr
+        elif leaf == "embedding":
+            out[f"{base}.weight"] = arr
+        elif leaf == "bias":
+            out[f"{base}.bias"] = arr
+        else:  # bare params (pos_embed)
+            out[".".join(parts + [leaf])] = arr
+    return out
+
+
+def save_torch_state_dict(state_dict: Dict[str, Any], path: str) -> None:
+    import torch
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in state_dict.items()}, path)
