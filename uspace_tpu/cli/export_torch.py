@@ -19,9 +19,12 @@ FLAGS = flags.FLAGS
 if "config" not in FLAGS:
     config_flags.DEFINE_config_file("config", None, "experiment config",
                                     lock_config=False)
-flags.DEFINE_string("ckpt", None, "orbax checkpoint root (ckpts dir)")
-flags.DEFINE_string("out", None, "output .pth path")
-flags.DEFINE_bool("use_ema", True, "export EMA params")
+if "ckpt" not in FLAGS:
+    flags.DEFINE_string("ckpt", None, "orbax checkpoint root (ckpts dir)")
+if "out" not in FLAGS:
+    flags.DEFINE_string("out", None, "output .pth path")
+if "use_ema" not in FLAGS:
+    flags.DEFINE_bool("use_ema", True, "export EMA params")
 flags.mark_flags_as_required(["config", "ckpt", "out"])
 
 

@@ -21,22 +21,35 @@ import numpy as np
 from absl import app, flags, logging
 
 FLAGS = flags.FLAGS
-flags.DEFINE_string("images", None, "raw image dir (or MSCOCO root)")
-flags.DEFINE_string("captions", None, "caption dir (sidecar txt) if separate")
-flags.DEFINE_string("ann_file", None, "MSCOCO annotation json (switches to "
-                                      "MSCOCODatabase)")
-flags.DEFINE_string("attr_file", None, "CelebA list_attr file (adds attrs)")
-flags.DEFINE_string("vae", "assets/stable-diffusion/autoencoder_kl.pth",
-                    "SD VAE torch checkpoint")
-flags.DEFINE_string("clip", None, "local CLIP dir (torch weights + tokenizer)")
-flags.DEFINE_string("out", None, "output dir / h5 path")
-flags.DEFINE_integer("resolution", 256, "image resolution")
-flags.DEFINE_integer("batch_size", 64, "encode batch size")
-flags.DEFINE_enum("format", "npy", ["npy", "h5", "t2i"], "output format")
-flags.DEFINE_bool("flip", False, "add horizontally flipped copies")
-flags.DEFINE_bool("empty_context", False, "also write empty_context.npy")
-flags.DEFINE_string("prompts", None, "comma-separated eval prompts for "
-                                     "run_vis/")
+if "images" not in FLAGS:
+    flags.DEFINE_string("images", None, "raw image dir (or MSCOCO root)")
+if "captions" not in FLAGS:
+    flags.DEFINE_string("captions", None, "caption dir (sidecar txt) if separate")
+if "ann_file" not in FLAGS:
+    flags.DEFINE_string("ann_file", None, "MSCOCO annotation json (switches to "
+                                          "MSCOCODatabase)")
+if "attr_file" not in FLAGS:
+    flags.DEFINE_string("attr_file", None, "CelebA list_attr file (adds attrs)")
+if "vae" not in FLAGS:
+    flags.DEFINE_string("vae", "assets/stable-diffusion/autoencoder_kl.pth",
+                        "SD VAE torch checkpoint")
+if "clip" not in FLAGS:
+    flags.DEFINE_string("clip", None, "local CLIP dir (torch weights + tokenizer)")
+if "out" not in FLAGS:
+    flags.DEFINE_string("out", None, "output dir / h5 path")
+if "resolution" not in FLAGS:
+    flags.DEFINE_integer("resolution", 256, "image resolution")
+if "batch_size" not in FLAGS:
+    flags.DEFINE_integer("batch_size", 64, "encode batch size")
+if "format" not in FLAGS:
+    flags.DEFINE_enum("format", "npy", ["npy", "h5", "t2i"], "output format")
+if "flip" not in FLAGS:
+    flags.DEFINE_bool("flip", False, "add horizontally flipped copies")
+if "empty_context" not in FLAGS:
+    flags.DEFINE_bool("empty_context", False, "also write empty_context.npy")
+if "prompts" not in FLAGS:
+    flags.DEFINE_string("prompts", None, "comma-separated eval prompts for "
+                                         "run_vis/")
 
 
 def _build_text_encoder():

@@ -11,10 +11,14 @@ from __future__ import annotations
 from absl import app, flags, logging
 
 FLAGS = flags.FLAGS
-flags.DEFINE_string("images", None, "image directory")
-flags.DEFINE_string("out", None, "output .npz path")
-flags.DEFINE_string("inception", None, "pytorch-fid inception weights")
-flags.DEFINE_integer("batch_size", 50, "")
+if "images" not in FLAGS:
+    flags.DEFINE_string("images", None, "image directory")
+if "out" not in FLAGS:
+    flags.DEFINE_string("out", None, "output .npz path")
+if "inception" not in FLAGS:
+    flags.DEFINE_string("inception", None, "pytorch-fid inception weights")
+if "batch_size" not in FLAGS:
+    flags.DEFINE_integer("batch_size", 50, "")
 flags.mark_flags_as_required(["images", "out"])
 
 

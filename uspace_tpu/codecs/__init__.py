@@ -1,0 +1,1 @@
+from . import clip_text, convert, vae

@@ -1,0 +1,1 @@
+from . import logging_utils, profiling, ptp_vis, vis
