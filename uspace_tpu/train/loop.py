@@ -296,12 +296,22 @@ def train(config, workdir: Optional[str] = None) -> TrainState:
                 metrics_w.write(step, {"fid": fid})
 
     exp.ckpt.save(state, step, wait=True)
-    # best-FID checkpoint selection (reference train_lfm.py:328-338)
-    if fid_by_step and is_main:
+    # best-FID checkpoint selection + final full-size eval on it
+    # (reference train_lfm.py:328-338)
+    if fid_by_step:
         best = min(fid_by_step, key=fid_by_step.get)
-        logging.info("best FID %.3f at step %d", fid_by_step[best], best)
-        with open(os.path.join(exp.workdir, "best_ckpt.txt"), "w") as f:
-            f.write(f"{best} {fid_by_step[best]}\n")
+        logging.info("best small-FID %.3f at step %d", fid_by_step[best], best)
+        if is_main:
+            with open(os.path.join(exp.workdir, "best_ckpt.txt"), "w") as f:
+                f.write(f"{best} {fid_by_step[best]}\n")
+        best_state = exp.ckpt.restore(state, best)
+        final_fid = _eval_fid(exp, best_state, best,
+                              n_samples=cfg.sample.n_samples,
+                              tag="final")
+        if final_fid is not None:
+            logging.info("final FID (%d samples) %.4f",
+                         cfg.sample.n_samples, final_fid)
+            metrics_w.write(best, {"final_fid": final_fid})
     return state
 
 
@@ -330,9 +340,11 @@ def _vis(exp: Experiment, state: TrainState, step: int) -> None:
     logging.info("vis saved: %s", out_path)
 
 
-def _eval_fid(exp: Experiment, state: TrainState, step: int):
-    """Small-FID eval on checkpoint save when stats+weights exist
-    (reference eval_step, train_lfm.py:185-230)."""
+def _eval_fid(exp: Experiment, state: TrainState, step: int,
+              n_samples: Optional[int] = None, tag: str = ""):
+    """FID eval when stats+weights exist (reference eval_step,
+    train_lfm.py:185-230). Per-save evals are capped small; the final
+    best-checkpoint eval uses the config's full n_samples."""
     cfg = exp.config
     fid_stat = getattr(exp.dataset, "fid_stat", None)
     if not fid_stat or not os.path.exists(fid_stat):
@@ -352,10 +364,10 @@ def _eval_fid(exp: Experiment, state: TrainState, step: int):
         )
         return exp.dataset.unpreprocess(np.asarray(decode(lat)))
 
-    out_dir = os.path.join(exp.workdir, "eval", f"{step}")
+    out_dir = os.path.join(exp.workdir, "eval", f"{step}{tag}")
     from ..evals.sampling import sample2dir
 
-    n_eval = min(cfg.sample.n_samples, 2048)  # small eval per save
+    n_eval = n_samples or min(cfg.sample.n_samples, 2048)
     sample2dir(
         lambda rng, n: sample_images(rng, n),
         n_eval, cfg.sample.mini_batch_size, out_dir,
