@@ -62,3 +62,24 @@ def test_train_loop_unet(tmp_path):
     cfg.sample.mini_batch_size = 2
     state = train(cfg, str(tmp_path / "unet_run"))
     assert int(state.step) == 3
+
+
+@pytest.mark.slow
+def test_training_is_deterministic(tmp_path):
+    """Same seed -> identical loss trajectory (the reference only has
+    set_seed; here the whole pipeline is deterministic by construction)."""
+    from uspace_tpu.configs.synthetic_smoke import get_config
+    from uspace_tpu.train.loop import train
+
+    def run(wd):
+        cfg = get_config()
+        cfg.train.n_steps = 6
+        cfg.train.eval_interval = 100
+        cfg.train.save_interval = 100
+        cfg.train.log_interval = 1
+        train(cfg, wd)
+        return [json.loads(l)["loss"] for l in open(wd + "/metrics.jsonl")]
+
+    a = run(str(tmp_path / "a"))
+    b = run(str(tmp_path / "b"))
+    assert a == b and len(a) >= 6
