@@ -162,3 +162,29 @@ class TestLoader:
         _time.sleep(1.0)
         # no accumulation of blocked producer threads
         assert threading.active_count() <= before + 1
+
+    def test_producer_exception_propagates(self, tmp_path):
+        """A corrupt sample must raise in the consumer, not hang it."""
+
+        class Broken(SyntheticFeatures):
+            def __getitem__(self, idx):
+                if idx == 3:
+                    raise OSError("corrupt file")
+                return super().__getitem__(idx)
+
+        dl = DataLoader(Broken(num=8, shape=(2, 2, 2)), batch_size=4,
+                        shuffle=False, num_workers=2)
+        with pytest.raises(OSError, match="corrupt"):
+            list(dl)
+
+    def test_caption_rng_thread_safe_and_reproducible(self, caption_dir):
+        """Per-access RNG: concurrent loads stay valid and two identically
+        visited datasets pick identical captions."""
+        a = CaptionFeatureDataset(caption_dir, output_caption=True, seed=1)
+        b = CaptionFeatureDataset(caption_dir, output_caption=True, seed=1)
+        pa = [a[i]["caption"] for i in range(4)]
+        pb = [b[i]["caption"] for i in range(4)]
+        assert pa == pb
+        # second epoch may differ (access-count entropy) but stays valid
+        pa2 = [a[i]["caption"] for i in range(4)]
+        assert all(c.startswith("caption") for c in pa2)

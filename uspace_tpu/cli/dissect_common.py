@@ -41,17 +41,13 @@ def load_nnet_params(config, model, init_args) -> dict:
 
         surgery = ("unet" if config.nnet.name == "unet_t2i" else None)
         return load_pretrained_nnet(path, params, surgery=surgery)
-    # orbax: restore TrainState and take EMA params
-    import orbax.checkpoint as ocp
-
+    # orbax: structure-free restore of the EMA params only (the training
+    # optimizer's state layout is unknown here and must not be required)
     from ..train.checkpoint import CheckpointManager
-    from ..train.state import TrainState, get_optimizer
 
-    tx = get_optimizer("adam", 1e-4)
-    state = TrainState.create(params, tx)
     mgr = CheckpointManager(path)
-    state = mgr.restore(state)
-    return jax.tree.map(np.asarray, state.ema_params)
+    ema = mgr.restore_params(ema=True)
+    return jax.tree.map(np.asarray, ema)
 
 
 def build_session(config) -> Tuple[DissectSession, object]:

@@ -121,13 +121,16 @@ def run(config, workdir: str) -> None:
             ith = d.ith_attr if mode == "attr" else d.ith_component
             delta_grid = select_direction(grid_all, ith)
             n = min(d.n_samples, d.mini_batch_size)
+            is_every = (isinstance(d.t_edit, str)
+                        and d.t_edit.startswith("every_"))
             sweep = session.write_sweep(
                 delta_grid, list(d.write_scales), n,
                 grid_t0=grid_t0,
                 loc=d.get("edit_loc") or "mid",
-                t_edit=float(d.t_edit) if not isinstance(d.t_edit, str) else 1.0,
-                gate_mode="every" if (isinstance(d.t_edit, str)
-                                      and d.t_edit.startswith("every_")) else "le",
+                t_edit=1.0 if is_every else float(d.t_edit),
+                gate_mode="every" if is_every else "le",
+                gate_period=(float(d.t_edit.replace("every_", ""))
+                             if is_every else 0.1),
                 fixed_z=fixed_z, rng=rng, z_shape=z_hwc,
             )
         s, b = sweep.shape[:2]

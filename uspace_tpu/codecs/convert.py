@@ -154,13 +154,17 @@ def uvit_torch_to_flax(
                               embedding_keys=("label_emb",))
 
 
-def merge_params(converted: Dict[str, Any], initialized: Dict[str, Any]
-                 ) -> Dict[str, Any]:
+def merge_params(converted: Dict[str, Any], initialized: Dict[str, Any],
+                 on_unused: str = "warn") -> Dict[str, Any]:
     """Overlay converted weights onto a freshly initialized param tree,
     keeping initialized values for keys the conversion dropped (the
     weight-surgery pattern: new pos_embed/label_emb, pretrained rest).
-    Raises on shape mismatch."""
-    import jax
+
+    Raises on shape mismatch. Converted tensors whose mapped path does
+    not exist in the init tree indicate a key-mapping problem and are
+    reported (``on_unused``: "warn" | "raise" | "ignore") instead of
+    being silently discarded."""
+    used = set()
 
     def merge(a: Dict[str, Any], b: Dict[str, Any], prefix=""):
         out = {}
@@ -168,6 +172,7 @@ def merge_params(converted: Dict[str, Any], initialized: Dict[str, Any]
             if k in a:
                 av = a[k]
                 if isinstance(bv, dict):
+                    used.add(prefix + k)
                     out[k] = merge(av, bv, prefix + k + "/")
                 else:
                     if tuple(np.shape(av)) != tuple(np.shape(bv)):
@@ -175,12 +180,37 @@ def merge_params(converted: Dict[str, Any], initialized: Dict[str, Any]
                             f"shape mismatch at {prefix + k}: "
                             f"{np.shape(av)} vs {np.shape(bv)}"
                         )
+                    used.add(prefix + k)
                     out[k] = np.asarray(av, dtype=np.asarray(bv).dtype)
             else:
                 out[k] = bv
         return out
 
-    return merge(converted, initialized)
+    result = merge(converted, initialized)
+
+    def find_unused(tree: Dict[str, Any], prefix=""):
+        out = []
+        for k, v in tree.items():
+            p = prefix + k
+            if isinstance(v, dict):
+                if p in used:
+                    out.extend(find_unused(v, p + "/"))
+                else:
+                    out.append(p)
+            elif p not in used:
+                out.append(p)
+        return out
+
+    unused = find_unused(converted)
+    if unused and on_unused != "ignore":
+        msg = (f"{len(unused)} converted tensors matched no target param "
+               f"(key-mapping drift?): {unused[:8]}")
+        if on_unused == "raise":
+            raise ValueError(msg)
+        from absl import logging as _logging
+
+        _logging.warning(msg)
+    return result
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:

@@ -15,9 +15,28 @@ Samples are dicts: ``x`` (moments or latents, NHWC), optional ``y``
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+class _PerAccessRng:
+    """Thread-safe deterministic per-access RNG: numpy Generators are not
+    thread-safe under the loader's thread pool. Seeded by (seed, idx,
+    per-idx access count) so caption draws vary across epochs yet stay
+    reproducible given the visit order."""
+
+    def __init__(self, seed: int):
+        self.seed = seed
+        self._counts: Dict[int, int] = {}
+        self._lock = threading.Lock()
+
+    def for_index(self, idx: int) -> np.random.Generator:
+        with self._lock:
+            n = self._counts.get(idx, 0)
+            self._counts[idx] = n + 1
+        return np.random.default_rng((self.seed, idx, n))
 
 Array = np.ndarray
 
@@ -139,14 +158,14 @@ class CaptionFeatureDataset(Dataset):
         self.root = root
         self.output_caption = output_caption
         self.num_data, self.n_captions = get_feature_dir_info(root)
-        self._rng = np.random.default_rng(seed)
+        self._rng = _PerAccessRng(seed)
 
     def __len__(self):
         return self.num_data
 
     def __getitem__(self, idx):
         z = np.load(os.path.join(self.root, f"{idx}.npy"))
-        k = int(self._rng.integers(0, self.n_captions[idx]))
+        k = int(self._rng.for_index(idx).integers(0, self.n_captions[idx]))
         c = np.load(os.path.join(self.root, f"{idx}_{k}.npy"))
         out = {"x": _chw_to_hwc(z), "context": c}
         if self.output_caption:
@@ -168,14 +187,14 @@ class CFGDataset(Dataset):
         self.p_uncond = p_uncond
         self.empty_context = empty_context
         self.null_label = null_label
-        self._rng = np.random.default_rng(seed)
+        self._rng = _PerAccessRng(seed)
 
     def __len__(self):
         return len(self.dataset)
 
     def __getitem__(self, idx):
         out = dict(self.dataset[idx])
-        if self._rng.random() < self.p_uncond:
+        if self._rng.for_index(idx).random() < self.p_uncond:
             if "context" in out and self.empty_context is not None:
                 out["context"] = np.asarray(self.empty_context)
             if "y" in out and self.null_label is not None:
@@ -278,12 +297,15 @@ class ImageNet256Features(DatasetFactory):
     has_label = True
 
     def __init__(self, path, cfg=False, p_uncond=None, num=1_281_167):
-        self.K = 1000
+        self.K = 1000  # eval sampling draws real classes only
+        self.null_label = None
         train = NpyFeatureDataset(path, num=num, fmt="labeled")
         if cfg:
             assert p_uncond is not None
-            self.K = 1001  # class 1000 = null label
-            train = CFGDataset(train, p_uncond, null_label=1000)
+            # class K is the learned null label (model needs
+            # num_classes=K+1); sample_label still draws 0..K-1
+            self.null_label = self.K
+            train = CFGDataset(train, p_uncond, null_label=self.null_label)
         self.train = train
 
 

@@ -98,14 +98,19 @@ class DataLoader:
             return False
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    ids = shard[b * self.batch_size:(b + 1) * self.batch_size]
-                    samples = list(pool.map(self.dataset.__getitem__, ids))
-                    if not _put(_stack(samples)):
-                        return
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        ids = shard[b * self.batch_size:
+                                    (b + 1) * self.batch_size]
+                        samples = list(pool.map(self.dataset.__getitem__, ids))
+                        if not _put(_stack(samples)):
+                            return
+            except BaseException as e:  # surface to the consumer, don't hang
+                _put(e)
+                return
             _put(None)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -115,6 +120,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -149,6 +149,7 @@ class DissectSession:
         loc: str = "mid",
         t_edit: float = 1.0,
         gate_mode: str = "le",
+        gate_period: float = 0.1,
         grid_dt: Optional[float] = None,
         grid_t0: float = 0.0,
         cond: Optional[Dict] = None,
@@ -169,7 +170,7 @@ class DissectSession:
         edit0 = USpaceEdit(
             delta_grid=jnp.asarray(delta_grid), scale=jnp.float32(0.0),
             grid_dt=gd, grid_t0=grid_t0, t_edit=t_edit,
-            gate_mode=gate_mode, loc=loc,
+            gate_mode=gate_mode, gate_period=gate_period, loc=loc,
         )
 
         @jax.jit

@@ -68,27 +68,33 @@ class InceptionFeaturizer:
         self.params = {"params": inception_torch_to_flax(sd)}
         self._fn = jax.jit(lambda imgs: self.model.apply(self.params, imgs))
 
-    def __call__(self, images01: np.ndarray, batch_size: int = 50
-                 ) -> np.ndarray:
-        """images01: [N, H, W, 3] float in [0, 1] -> [N, 2048]."""
+    def __call__(self, images01, batch_size: int = 50) -> np.ndarray:
+        """images01: [N, H, W, 3] float in [0, 1] (array or lazy per-image
+        iterable of [H, W, 3]) -> [N, 2048]."""
         outs = []
-        for i in range(0, len(images01), batch_size):
-            outs.append(np.asarray(self._fn(jnp.asarray(
-                images01[i:i + batch_size], jnp.float32))))
+        batch = []
+        for img in images01:
+            batch.append(np.asarray(img, np.float32))
+            if len(batch) == batch_size:
+                outs.append(np.asarray(self._fn(jnp.asarray(np.stack(batch)))))
+                batch = []
+        if batch:
+            outs.append(np.asarray(self._fn(jnp.asarray(np.stack(batch)))))
         return np.concatenate(outs)
 
 
-def _load_images_from_dir(path: str) -> np.ndarray:
+def _iter_images_from_dir(path: str):
+    """Lazy per-image loader — a 50k-image FID eval must not hold
+    ~39 GB of pixels in host RAM at once."""
     from PIL import Image
 
     exts = (".png", ".jpg", ".jpeg", ".bmp")
     files = sorted(f for f in os.listdir(path) if f.lower().endswith(exts))
-    imgs = []
+    if not files:
+        raise FileNotFoundError(f"no images under {path}")
     for f in files:
-        img = np.asarray(Image.open(os.path.join(path, f)).convert("RGB"),
+        yield np.asarray(Image.open(os.path.join(path, f)).convert("RGB"),
                          np.float32) / 255.0
-        imgs.append(img)
-    return np.stack(imgs)
 
 
 def compute_statistics_of_path(
@@ -101,7 +107,7 @@ def compute_statistics_of_path(
         with np.load(path) as f:
             return f["mu"][:], f["sigma"][:]
     feat = featurizer or InceptionFeaturizer()
-    acts = feat(_load_images_from_dir(path), batch_size)
+    acts = feat(_iter_images_from_dir(path), batch_size)
     return activation_statistics(acts)
 
 

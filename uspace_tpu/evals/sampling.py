@@ -60,23 +60,23 @@ def sample2dir(
     """Generate ``n_samples`` images in mini-batches and write PNGs.
 
     ``sample_fn(rng, n) -> [n, H, W, C]`` images in [-1, 1] (decoded) or
-    [0, 1] if ``unpreprocess`` is None. In multi-process runs each process
-    samples its shard; gathering across hosts happens via per-process
-    disjoint index ranges (no data movement needed — unlike the
-    reference's accelerator.gather of pixels).
+    [0, 1] if ``unpreprocess`` is None.
+
+    Multi-host: every process executes the SAME sequence of compiled
+    invocations (params may be sharded over a global mesh, so diverging
+    program counts across hosts would desynchronize SPMD collectives);
+    each batch's PNGs are written by the process that owns it round-robin.
     """
     from ..utils.vis import save_image_batch
 
     pi, pc = jax.process_index(), jax.process_count()
     n_batches = math.ceil(n_samples / mini_batch_size)
-    written = 0
     for b in range(n_batches):
-        if b % pc != pi:
-            continue
         n = min(mini_batch_size, n_samples - b * mini_batch_size)
         imgs = sample_fn(jax.random.fold_in(rng, b), n)
+        if b % pc != pi:
+            continue  # computed everywhere (SPMD-safe), written by owner
         imgs = np.asarray(imgs)
         if unpreprocess is not None:
             imgs = unpreprocess(imgs)
         save_image_batch(imgs, out_dir, start_index=b * mini_batch_size)
-        written += n

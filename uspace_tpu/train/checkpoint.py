@@ -61,6 +61,20 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(state_like)
         )
 
+    def restore_params(self, step: Optional[int] = None, ema: bool = True):
+        """Restore only the (EMA) parameter tree, without needing the
+        training optimizer's state structure — the loader for dissection
+        and export, which must open checkpoints from any optimizer
+        configuration."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.ckpt_root}")
+        raw = self._mgr.restore(step)  # structure-free restore
+        key = "ema_params" if ema else "params"
+        if key not in raw:
+            raise KeyError(f"checkpoint at step {step} has no {key!r}")
+        return raw[key]
+
     def wait(self):
         self._mgr.wait_until_finished()
 

@@ -320,9 +320,10 @@ def _vis(exp: Experiment, state: TrainState, step: int) -> None:
     cfg = exp.config
     n = cfg.vis_num
     rng = jax.random.fold_in(exp.rng, 2 + step)
-    cond = exp.eval_cond(rng, n)
+    cond_rng, z_rng = jax.random.split(rng)
+    cond = exp.eval_cond(cond_rng, n)
     latents = exp.sample_latents(
-        {"params": state.ema_params["params"]}, rng, n, cond
+        {"params": state.ema_params["params"]}, z_rng, n, cond
     )
     decode = exp.vae()
     out_path = os.path.join(exp.workdir, "vis", f"{step}.png")
@@ -358,9 +359,10 @@ def _eval_fid(exp: Experiment, state: TrainState, step: int,
         return None
 
     def sample_images(rng, n):
-        cond = exp.eval_cond(rng, n)
+        cond_rng, z_rng = jax.random.split(rng)
+        cond = exp.eval_cond(cond_rng, n)
         lat = exp.sample_latents(
-            {"params": state.ema_params["params"]}, rng, n, cond
+            {"params": state.ema_params["params"]}, z_rng, n, cond
         )
         return exp.dataset.unpreprocess(np.asarray(decode(lat)))
 
@@ -373,4 +375,8 @@ def _eval_fid(exp: Experiment, state: TrainState, step: int,
         n_eval, cfg.sample.mini_batch_size, out_dir,
         jax.random.fold_in(exp.rng, 3 + step),
     )
-    return fid_mod.fid_given_paths(fid_stat, out_dir)
+    try:
+        return fid_mod.fid_given_paths(fid_stat, out_dir)
+    except FileNotFoundError as e:  # missing inception weights: skip FID,
+        logging.warning("FID skipped: %s", e)  # never kill a training run
+        return None
