@@ -226,3 +226,33 @@ class TestFixedZEditing:
         cfg.dissection.fixed_z_path = "from_read"
         run(cfg, wd)
         assert os.path.exists(wd + "/write_attr_sweep.png")
+
+
+class TestCheckpointInterop:
+    @pytest.mark.slow
+    def test_dissect_loads_framework_trained_checkpoint(self, tmp_path):
+        """Regression: dissect/export must open checkpoints written by
+        train() regardless of the training optimizer's state structure."""
+        from uspace_tpu.cli.dissect_common import load_nnet_params
+        from uspace_tpu.configs.synthetic_smoke import get_config
+        from uspace_tpu.configs.common import nnet_kwargs
+        from uspace_tpu.models import get_nnet
+        from uspace_tpu.train.loop import train
+
+        cfg = get_config()
+        cfg.train.n_steps = 5
+        cfg.train.save_interval = 5
+        cfg.train.eval_interval = 100
+        cfg.optimizer.weight_decay = 0.03   # extra optax chain element
+        cfg.lr_scheduler.warmup_steps = 2   # schedule state
+        wd = str(tmp_path / "run")
+        train(cfg, wd)
+
+        cfg.dissection.ckpt_path_to_dissect = wd + "/ckpts"
+        model = get_nnet(cfg.nnet.name, **nnet_kwargs(cfg.nnet))
+        x = jnp.zeros((1, 8, 8, 4))
+        t = jnp.zeros((1,))
+        params = load_nnet_params(cfg, model, (x, t))
+        v, _ = model.apply(jax.tree.map(jnp.asarray, params), x, t)
+        assert v.shape == x.shape
+        assert np.isfinite(np.asarray(v)).all()
