@@ -709,6 +709,12 @@ def multi_head_attention(
         v = v * col_mult[:, None, :, None].astype(v.dtype)
     if return_probs:
         return xla_attention(q, k, v, scale, return_probs=True)
+    # Model-level impl strings select *packed/fused* kernels that only the
+    # no-edit fast path in models/layers.py can use; when an edited or
+    # prob-capture call falls through to this [B,H,L,D] front-end, they
+    # degrade to the closest applicable choice instead of erroring.
+    if impl in ("pallas_packed", "pallas_qkvproj", "pallas_block", "int8"):
+        impl = "auto"
     if impl == "auto":
         if q.shape[2] <= _XLA_PREFERRED_MAX_LEN or not _on_tpu():
             impl = "xla"
