@@ -15,28 +15,25 @@ Samples are dicts: ``x`` (moments or latents, NHWC), optional ``y``
 from __future__ import annotations
 
 import os
-import threading
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
 
-class _PerAccessRng:
-    """Thread-safe deterministic per-access RNG: numpy Generators are not
-    thread-safe under the loader's thread pool. Seeded by (seed, idx,
-    per-idx access count) so caption draws vary across epochs yet stay
-    reproducible given the visit order."""
+class _EpochRng:
+    """Deterministic per-(epoch, index) RNG for host-side data
+    augmentation (caption draws, CFG drops). Seeded by (seed, idx,
+    epoch) so draws vary across epochs yet are bit-reproducible
+    regardless of loader thread interleaving or visit order — the
+    loader announces the epoch via ``Dataset.set_epoch`` before
+    producing (fixes the round-1 access-counter race)."""
 
     def __init__(self, seed: int):
         self.seed = seed
-        self._counts: Dict[int, int] = {}
-        self._lock = threading.Lock()
+        self.epoch = 0
 
     def for_index(self, idx: int) -> np.random.Generator:
-        with self._lock:
-            n = self._counts.get(idx, 0)
-            self._counts[idx] = n + 1
-        return np.random.default_rng((self.seed, idx, n))
+        return np.random.default_rng((self.seed, idx, self.epoch))
 
 Array = np.ndarray
 
@@ -55,6 +52,10 @@ class Dataset:
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         raise NotImplementedError
+
+    def set_epoch(self, epoch: int) -> None:
+        """Announce the epoch for per-epoch deterministic augmentation;
+        called by the loader before producing. No-op by default."""
 
 
 class NpyFeatureDataset(Dataset):
@@ -158,7 +159,10 @@ class CaptionFeatureDataset(Dataset):
         self.root = root
         self.output_caption = output_caption
         self.num_data, self.n_captions = get_feature_dir_info(root)
-        self._rng = _PerAccessRng(seed)
+        self._rng = _EpochRng(seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._rng.epoch = epoch
 
     def __len__(self):
         return self.num_data
@@ -187,7 +191,11 @@ class CFGDataset(Dataset):
         self.p_uncond = p_uncond
         self.empty_context = empty_context
         self.null_label = null_label
-        self._rng = _PerAccessRng(seed)
+        self._rng = _EpochRng(seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._rng.epoch = epoch
+        self.dataset.set_epoch(epoch)
 
     def __len__(self):
         return len(self.dataset)
@@ -404,6 +412,11 @@ class RawImages(DatasetFactory):
 class _ImagesAsX(Dataset):
     def __init__(self, base):
         self.base = base
+
+    def set_epoch(self, epoch: int) -> None:
+        set_fn = getattr(self.base, "set_epoch", None)
+        if set_fn is not None:
+            set_fn(epoch)
 
     def __len__(self):
         return len(self.base)

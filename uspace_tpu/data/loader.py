@@ -80,6 +80,11 @@ class DataLoader:
         return shard, n_batches
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
+        # announce the epoch for per-epoch deterministic augmentation
+        # (caption draws / CFG drops key their rng on (seed, idx, epoch))
+        set_fn = getattr(self.dataset, "set_epoch", None)
+        if set_fn is not None:
+            set_fn(epoch)
         shard, n_batches = self._epoch_indices(epoch)
         if n_batches == 0:
             return

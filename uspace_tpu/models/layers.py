@@ -118,21 +118,51 @@ class _AttnParams(nn.Module):
         return wqkv, wproj, bproj
 
 
+class Int8Dense(nn.Module):
+    """W8A8 dynamically-quantized Dense with nn.Dense's exact param tree
+    (kernel [in, out] f32 + optional bias), so any checkpoint loads into
+    either view. Used by the int8 sampling model view (ops/quant.py)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    kernel_init: Any = dense_init
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_dense
+
+        k = self.param("kernel", self.kernel_init,
+                       (x.shape[-1], self.features), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros,
+                        (self.features,), jnp.float32)
+             if self.use_bias else None)
+        return int8_dense(x, k, b, out_dtype=self.dtype)
+
+
+def _dense(quant: bool, features: int, *, use_bias: bool = True,
+           dtype=jnp.float32, name: str):
+    """nn.Dense or its quantized twin, same param tree either way."""
+    cls = Int8Dense if quant else nn.Dense
+    return cls(features, use_bias=use_bias, dtype=dtype,
+               kernel_init=dense_init, name=name)
+
+
 class Mlp(nn.Module):
     """Transformer MLP (reference `libs/timm.py:96-112`)."""
 
     hidden_dim: int
     out_dim: Optional[int] = None
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         out_dim = self.out_dim or x.shape[-1]
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=dense_init,
-                     name="fc1")(x)
+        x = _dense(self.quant, self.hidden_dim, dtype=self.dtype,
+                   name="fc1")(x)
         x = gelu_exact(x)
-        x = nn.Dense(out_dim, dtype=self.dtype, kernel_init=dense_init,
-                     name="fc2")(x)
+        x = _dense(self.quant, out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -145,6 +175,7 @@ class Attention(nn.Module):
     qk_scale: Optional[float] = None
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -173,10 +204,13 @@ class Attention(nn.Module):
                 # the [B, L, 3C] intermediate never touches HBM — the
                 # fastest *sampling* path (15.4 img/s). The kernel param
                 # is created at the same tree path as nn.Dense(name="qkv")
-                # would, so checkpoints interop.
+                # would, so checkpoints interop. With quant=True the
+                # projection runs int8 on the MXU (2x rate), softmax and
+                # accumulation stay f32.
                 kernel = _DenseKernel(3 * c, name="qkv")(c)
                 out = fused_qkvproj_attention(
-                    x, kernel.astype(self.dtype), h, scale)
+                    x, kernel.astype(self.dtype), h, scale,
+                    quant=self.quant)
             else:
                 # XLA projection + transpose-free attention kernel — the
                 # fastest *training* path (backward does not recompute
@@ -185,8 +219,7 @@ class Attention(nn.Module):
                                  dtype=self.dtype, kernel_init=dense_init,
                                  name="qkv")(x)
                 out = fused_qkv_attention(qkv_p, h, scale)
-            out = nn.Dense(c, dtype=self.dtype, kernel_init=dense_init,
-                           name="proj")(out)
+            out = _dense(self.quant, c, dtype=self.dtype, name="proj")(out)
             return out
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -228,6 +261,7 @@ class Block(nn.Module):
     skip: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -241,8 +275,8 @@ class Block(nn.Module):
     ):
         c = x.shape[-1]
         if self.skip:
-            x = nn.Dense(c, dtype=self.dtype, kernel_init=dense_init,
-                         name="skip_linear")(
+            x = _dense(self.quant, c, dtype=self.dtype,
+                       name="skip_linear")(
                 jnp.concatenate([x, skip], axis=-1)
             )
 
@@ -269,7 +303,7 @@ class Block(nn.Module):
             attn = Attention(
                 num_heads=self.num_heads, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale, dtype=self.dtype,
-                attn_impl=self.attn_impl, name="attn",
+                attn_impl=self.attn_impl, quant=self.quant, name="attn",
             )
             h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                              name="norm1")(x)
@@ -280,7 +314,7 @@ class Block(nn.Module):
                 a = attn(h, t=t, attn_edit=attn_edit, block_id=block_id)
             x = x + a
         x = x + Mlp(hidden_dim=int(c * self.mlp_ratio), dtype=self.dtype,
-                    name="mlp")(
+                    quant=self.quant, name="mlp")(
             nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
         )
         if capture_probs:

@@ -67,6 +67,9 @@ class UViT(nn.Module):
     skip: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    # int8 W8A8 sampling view (ops/quant.py): quantizes the block matmuls
+    # (mlp, qkv, proj, skip_linear); embeds/decoder/norms stay bf16/f32.
+    quant: bool = False
 
     @property
     def extras(self) -> int:
@@ -138,7 +141,8 @@ class UViT(nn.Module):
             return block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale, skip=skip,
-                dtype=self.dtype, attn_impl=self.attn_impl, name=name,
+                dtype=self.dtype, attn_impl=self.attn_impl,
+                quant=self.quant, name=name,
             )
 
         skips = []

@@ -397,6 +397,89 @@ def _qkv_attn_call(x, w_qkv, num_heads, scale, interpret):
     return out[:, :l]
 
 
+def _qkv_attn_kernel_q(x_ref, wq_ref, ws_ref, o_ref, wq_vmem, qkv_buf, sem,
+                       *, scale, seq_len, num_heads, head_dim):
+    """int8-projection variant of :func:`_qkv_attn_kernel`: the QKV weight
+    arrives pre-quantized (int8 + per-column scale), activations are
+    row-quantized in-kernel, and the projection runs int8 x int8 -> int32
+    on the MXU at 2x the bf16 rate. Attention math stays bf16 with f32
+    softmax. The weight DMA is half the bytes of the bf16 kernel."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load_weights():
+        cp = pltpu.make_async_copy(wq_ref, wq_vmem, sem)
+        cp.start()
+        cp.wait()
+
+    x = x_ref[0]  # [Lp, C]
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
+    xq = jnp.round(xf * (127.0 / amax)).astype(jnp.int8)
+    # project in three column slices: the full [Lp, 3C] int32 transient
+    # would pressure the VMEM stack; per-slice it is [Lp, C]
+    for j in range(3):
+        acc = jax.lax.dot_general(
+            xq, wq_vmem[:, j * c:(j + 1) * c], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        deq = acc.astype(jnp.float32) * (amax * (1.0 / 127.0)) \
+            * ws_ref[0:1, j * c:(j + 1) * c]
+        qkv_buf[:, j * c:(j + 1) * c] = deq.astype(qkv_buf.dtype)
+    h, d = num_heads, head_dim
+    lp = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    key_mask = col < seq_len
+    for i in range(h):
+        q = qkv_buf[:, i * d:(i + 1) * d]
+        k = qkv_buf[:, (h + i) * d:(h + i + 1) * d]
+        v = qkv_buf[:, (2 * h + i) * d:(2 * h + i + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(key_mask, s, _MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        o_ref[0, :, i * d:(i + 1) * d] = o.astype(o_ref.dtype)
+
+
+def _qkv_attn_call_q(x, wq, ws, num_heads, scale, interpret):
+    b, l, c = x.shape
+    h = num_heads
+    d = c // h
+    lp = _round_up(l, 128)
+    xp = x if lp == l else jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    if interpret or not _HAS_PLTPU:
+        vmem, anyspace = None, None
+    else:
+        vmem, anyspace = pltpu.VMEM, pltpu.ANY
+    out = pl.pallas_call(
+        functools.partial(_qkv_attn_kernel_q, scale=scale, seq_len=l,
+                          num_heads=h, head_dim=d),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0), memory_space=vmem),
+            pl.BlockSpec(memory_space=anyspace),  # wq int8 stays in HBM
+            pl.BlockSpec(memory_space=vmem),      # ws [1, 3C] f32
+        ],
+        out_specs=pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((b, lp, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, 3 * c), jnp.int8),
+            pltpu.VMEM((lp, 3 * c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, wq, ws.reshape(1, -1))
+    return out[:, :l]
+
+
 def _qkvproj_xla(x, w_qkv, num_heads, scale):
     qkv = x @ w_qkv.astype(x.dtype)
     return _packed_xla(qkv, num_heads, scale)
@@ -424,17 +507,28 @@ _qkv_attn.defvjp(_qkv_attn_fwd, _qkv_attn_bwd)
 def fused_qkvproj_attention(
     x: Array, w_qkv: Array, num_heads: int,
     scale: Optional[float] = None, interpret: Optional[bool] = None,
+    quant: bool = False,
 ) -> Array:
     """x [B, L, C] (post-LN) and fused QKV weight [C, 3C] ->
     attention output [B, L, C] (pre out-projection). The QKV projection
     happens inside the kernel; the [B, L, 3C] intermediate never touches
-    HBM. Differentiable (backward recomputes via XLA)."""
+    HBM. Differentiable (backward recomputes via XLA).
+
+    With ``quant=True`` the projection runs int8 W8A8 on the MXU (weight
+    quantization is loop-invariant and hoisted out of the sampling scan;
+    activations are row-quantized in-kernel). Inference-only: the int8
+    path defines no gradient."""
     c = x.shape[-1]
     d = c // num_heads
     if scale is None:
         scale = float(d) ** -0.5
     if interpret is None:
         interpret = not _on_tpu()
+    if quant:
+        from .quant import quantize_colwise
+
+        wq, ws = quantize_colwise(w_qkv)
+        return _qkv_attn_call_q(x, wq, ws, num_heads, scale, interpret)
     return _qkv_attn(x, w_qkv, num_heads, scale, interpret)
 
 

@@ -1,0 +1,97 @@
+"""Int8 (W8A8) quantized matmul path for the sampling model view.
+
+TPU v5e executes int8 x int8 -> int32 on the MXU at 2x the bf16 rate
+(394 TOPS vs 197 TFLOPS peak). The bf16 sampler is already ~88% MFU
+(`bench.py`, ops/attention.py kernel ladder), so the remaining headroom
+to the >=2x-A100 north star is a precision-level change: quantize the
+big projection matmuls (MLP fc1/fc2, attention qkv/proj, skip_linear —
+together ~92% of U-ViT FLOPs) to int8 while keeping softmax, LayerNorm,
+GELU, residuals and accumulation in f32/bf16.
+
+Scheme (standard W8A8 dynamic quantization):
+- weights: symmetric per-output-channel scales, quantized once per jit
+  (loop-invariant — XLA hoists the quantize out of the ODE scan);
+- activations: symmetric per-token (row) scales computed on the fly;
+- dequant folded into the int32->f32 epilogue: y = acc * (row_s x col_s).
+
+This replaces the *precision* story of the reference's fp16 autocast
+sampling (`/root/reference/train_lfm.py:111-117`, README fp16 launch) —
+the reference has no quantized path; this is TPU-native headroom beyond
+parity. Quality is gated by tests/test_quant.py (cosine/latent-MSE vs
+bf16) and the bench's quality line.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# int8 symmetric range. 127 (not 128) keeps the grid symmetric.
+_QMAX = 127.0
+
+
+def quantize_rowwise(x: Array) -> Tuple[Array, Array]:
+    """Per-row (last-axis) symmetric int8 quantization.
+
+    Returns ``(q int8 [..., K], scale f32 [..., 1])`` with
+    ``x ~= q * scale``.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
+    scale = amax / _QMAX
+    q = jnp.clip(jnp.round(xf / scale), -_QMAX, _QMAX).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_colwise(w: Array) -> Tuple[Array, Array]:
+    """Per-output-channel (column) symmetric int8 weight quantization.
+
+    ``w`` is ``[K, N]`` (flax Dense kernel layout). Returns
+    ``(q int8 [K, N], scale f32 [N])``.
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8)
+    scale = amax / _QMAX
+    q = jnp.clip(jnp.round(wf / scale), -_QMAX, _QMAX).astype(jnp.int8)
+    return q, scale
+
+
+def int8_matmul(
+    xq: Array, x_scale: Array, wq: Array, w_scale: Array,
+    out_dtype: jnp.dtype = jnp.float32,
+) -> Array:
+    """``(xq * x_scale) @ (wq * w_scale)`` via one int8 MXU matmul.
+
+    xq: int8 [..., K]; x_scale: f32 [..., 1]; wq: int8 [K, N];
+    w_scale: f32 [N].
+    """
+    acc = jax.lax.dot_general(
+        xq, wq,
+        ((((xq.ndim - 1),), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
+
+
+def int8_dense(
+    x: Array, w: Array, bias: Optional[Array] = None,
+    out_dtype: Optional[jnp.dtype] = None,
+) -> Array:
+    """Drop-in quantized replacement for ``x @ w + b``.
+
+    ``w`` is the full-precision kernel; its quantization is
+    loop-invariant and hoisted out of the ODE scan by XLA, so inside the
+    sampling loop only the int8 copy is read (also halving weight HBM
+    traffic vs bf16).
+    """
+    out_dtype = out_dtype or x.dtype
+    xq, xs = quantize_rowwise(x)
+    wq, ws = quantize_colwise(w)
+    y = int8_matmul(xq, xs, wq, ws, out_dtype=jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
