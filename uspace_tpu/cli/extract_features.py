@@ -30,6 +30,20 @@ if "ann_file" not in FLAGS:
                                           "MSCOCODatabase)")
 if "attr_file" not in FLAGS:
     flags.DEFINE_string("attr_file", None, "CelebA list_attr file (adds attrs)")
+if "ffhq_attr" not in FLAGS:
+    flags.DEFINE_string("ffhq_attr", None,
+                        "FFHQ attr11 source: consolidated json or dir of "
+                        "per-image MS-Face-API jsons (h5 attr extraction, "
+                        "reference h5_extract_ffhq_feature_with_attr.py)")
+if "list_file" not in FLAGS:
+    flags.DEFINE_string("list_file", None,
+                        "txt of relative image paths under --images (LSUN "
+                        "churches/bedrooms lists; FFHQ split lists with "
+                        "--ffhq_attr)")
+if "class_list" not in FLAGS:
+    flags.DEFINE_string("class_list", None,
+                        "wnid-per-line class list (ImageNet100 subset; "
+                        "label = line index)")
 if "vae" not in FLAGS:
     flags.DEFINE_string("vae", "assets/stable-diffusion/autoencoder_kl.pth",
                         "SD VAE torch checkpoint")
@@ -75,8 +89,11 @@ def main(argv):
     from ..data.raw import (
         CaptionedImageFolder,
         CelebAMaskHQ,
+        FFHQAttr11,
         ImageFolder,
+        ImageNet100,
         MSCOCODatabase,
+        TxtListedImages,
     )
 
     vae_params = {"params": vae_torch_to_flax(
@@ -88,6 +105,15 @@ def main(argv):
     elif FLAGS.format == "t2i" or FLAGS.captions:
         ds = CaptionedImageFolder(FLAGS.images, FLAGS.captions,
                                   FLAGS.resolution)
+    elif FLAGS.ffhq_attr:
+        ds = FFHQAttr11(FLAGS.images, FLAGS.ffhq_attr, FLAGS.list_file,
+                        FLAGS.resolution)
+    elif FLAGS.class_list:
+        ds = ImageNet100(FLAGS.images, FLAGS.class_list, FLAGS.resolution)
+    elif FLAGS.list_file:
+        # extraction is a deterministic offline job: no flip augmentation
+        ds = TxtListedImages(FLAGS.list_file, FLAGS.images,
+                             FLAGS.resolution, flip_p=0.0)
     elif FLAGS.attr_file:
         ds = CelebAMaskHQ(FLAGS.images, FLAGS.resolution, FLAGS.attr_file)
     else:

@@ -154,6 +154,160 @@ class CaptionedImageFolder(Dataset):
                 "captions": caps}
 
 
+class TxtListedImages(Dataset):
+    """Images listed in a txt file, relative to ``data_root`` — the
+    reference's LSUN adapter format (`lfm_dataset/lsun.py:10-64`:
+    churches/bedrooms/cats "flat" dumps + ``*_train.txt`` path lists,
+    score-sde center-crop preprocessing, p=0.5 horizontal flip for
+    train). The flip is keyed on (seed, idx, epoch) so epochs vary but
+    runs are bit-reproducible (see datasets._EpochRng)."""
+
+    def __init__(self, txt_file: str, data_root: str, resolution: int = 256,
+                 flip_p: float = 0.5, seed: int = 0):
+        from .datasets import _EpochRng
+
+        with open(txt_file) as f:
+            names = [l.strip() for l in f if l.strip()]
+        self.files = [os.path.join(data_root, n) for n in names]
+        if not self.files:
+            raise FileNotFoundError(f"empty list {txt_file}")
+        self.resolution = resolution
+        self.flip_p = flip_p
+        self._rng = _EpochRng(seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._rng.epoch = epoch
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        img = load_image(self.files[idx], self.resolution)
+        if self.flip_p > 0 and self._rng.for_index(idx).random() < self.flip_p:
+            img = img[:, ::-1].copy()
+        return {"image": img, "path": self.files[idx]}
+
+
+# FFHQ 11-attribute order (reference lfm_dataset/ffhq_from1024.py:114-139,
+# consumed by tools/utils_attr.py FFHQ_ATTR11)
+FFHQ_ATTR11_KEYS = (
+    "gender", "smile", "no_glasses", "anger", "contempt", "disgust",
+    "fear", "happiness", "neutral", "sadness", "surprise",
+)
+
+
+def face_attributes_to_attr11(face: Dict) -> np.ndarray:
+    """MS-Face-API ``faceAttributes`` dict -> 11-dim 0/1 vector
+    (reference ffhq_from1024.py:114-139 thresholds)."""
+    emotion = face["emotion"]
+    vals = [
+        0 if face["gender"] == "female" else 1,
+        1 if face["smile"] > 0.5 else 0,
+        1 if face["glasses"] == "NoGlasses" else 0,
+    ] + [1 if emotion[k] > 0.5 else 0
+         for k in ("anger", "contempt", "disgust", "fear", "happiness",
+                   "neutral", "sadness", "surprise")]
+    return np.array(vals, np.int64)
+
+
+def load_ffhq_attr11(path: str) -> Dict[str, np.ndarray]:
+    """Load FFHQ attr11 vectors from either format the reference uses:
+
+    - a consolidated json mapping image-id -> 11-vector
+      (`lfm_dataset/data_files/ffhq_train_attr_v2.json`), or
+    - a directory of per-image ``{id}.json`` MS-Face-API files
+      (`ffhq-features-dataset/json`, parsed by ffhq_from1024.py:103-139).
+    """
+    import json
+
+    out: Dict[str, np.ndarray] = {}
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(path, name)) as f:
+                try:
+                    data = json.load(f)
+                    attr = face_attributes_to_attr11(data[0]["faceAttributes"])
+                except (KeyError, IndexError, ValueError):
+                    continue  # images with no detected face are skipped
+            out[os.path.splitext(name)[0]] = attr
+    else:
+        with open(path) as f:
+            data = json.load(f)
+        for k, v in data.items():
+            out[str(k)] = np.asarray(v, np.int64)
+    return out
+
+
+class FFHQAttr11(Dataset):
+    """FFHQ images + 11 attributes (reference ffhq_from1024.py): a split
+    txt of relative names, images resized bilinear (no crop — FFHQ is
+    square), and attrs from :func:`load_ffhq_attr11`. Images without an
+    attr entry are filtered out, matching ``filter_path``."""
+
+    def __init__(self, root: str, attr_path: str,
+                 split_file: Optional[str] = None, resolution: int = 256):
+        if split_file:
+            with open(split_file) as f:
+                names = [l.strip() for l in f if l.strip()]
+            files = [os.path.join(root, n) for n in names]
+        else:
+            files = list_images(root)
+        attrs = load_ffhq_attr11(attr_path)
+        self.files, self.attrs = [], []
+        for fpath in files:
+            img_id = os.path.splitext(os.path.basename(fpath))[0]
+            if img_id in attrs:
+                self.files.append(fpath)
+                self.attrs.append(attrs[img_id])
+        if not self.files:
+            raise FileNotFoundError(
+                f"no images in {root} with attrs in {attr_path}")
+        self.resolution = resolution
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        # reference resizes bilinear without cropping (ffhq_from1024.py:86)
+        from PIL import Image
+
+        img = Image.open(self.files[idx]).convert("RGB")
+        img = img.resize((self.resolution, self.resolution), Image.BILINEAR)
+        arr = np.asarray(img, np.float32) / 127.5 - 1.0
+        return {"image": arr, "attr": self.attrs[idx]}
+
+
+class ImageNet100(Dataset):
+    """ImageNet class-subset adapter (reference lfm_dataset/
+    imagenet100.py): ``class_list_file`` holds one wnid folder name per
+    line; the label of an image is its wnid's index in that list (the
+    generic ImageFolder loses this mapping)."""
+
+    def __init__(self, root: str, class_list_file: str,
+                 resolution: int = 256):
+        with open(class_list_file) as f:
+            self.wnids = [l.strip() for l in f if l.strip()]
+        self.files: List[str] = []
+        self.labels: List[int] = []
+        for cls_id, wnid in enumerate(self.wnids):
+            folder = os.path.join(root, wnid)
+            if not os.path.isdir(folder):
+                raise FileNotFoundError(folder)
+            for fpath in list_images(folder, recursive=False):
+                self.files.append(fpath)
+                self.labels.append(cls_id)
+        self.resolution = resolution
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        return {"image": load_image(self.files[idx], self.resolution),
+                "y": np.int64(self.labels[idx])}
+
+
 class MSCOCODatabase(Dataset):
     """MSCOCO images + annotation captions (reference datasets.py:909-947,
     pycocotools-based). This version reads the annotation JSON directly —
