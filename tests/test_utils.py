@@ -45,6 +45,31 @@ class TestLoggingUtils:
         rec = json.loads(open(tmp_path / "m.jsonl").read())
         assert rec["step"] == 5 and rec["loss"] == 1.25 and rec["tag"] == "a"
 
+    def test_metrics_writer_callback_sink(self, tmp_path):
+        got = []
+        w = MetricsWriter(str(tmp_path / "m.jsonl"),
+                          sinks=[lambda s, rec: got.append((s, rec))])
+        w.add_sink(lambda s, rec: got.append(("second", rec["loss"])))
+        w.write(3, {"loss": 0.5})
+        assert got[0][0] == 3 and got[0][1]["loss"] == 0.5
+        assert got[1] == ("second", 0.5)
+
+    def test_metrics_writer_wandb_missing_degrades(self, tmp_path,
+                                                   monkeypatch):
+        import builtins
+        real_import = builtins.__import__
+
+        def fake_import(name, *a, **k):
+            if name == "wandb":
+                raise ImportError("no wandb")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", fake_import)
+        w = MetricsWriter(str(tmp_path / "m.jsonl"), use_wandb=True,
+                          wandb_kwargs={"project": "x"})
+        w.write(1, {"loss": 2.0})  # must not raise
+        assert w._wandb is None
+
     def test_dct2str_and_cnt(self):
         assert "a=1.5" in dct2str({"a": 1.5})
         assert cnt_params({"w": np.zeros((3, 4)), "b": np.zeros(4)}) == 16

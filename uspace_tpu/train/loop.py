@@ -251,8 +251,22 @@ def train(config, workdir: Optional[str] = None) -> TrainState:
     exp = Experiment(config, workdir)
     cfg = config
     set_logger("info", os.path.join(exp.workdir, "train.log"))
-    metrics_w = MetricsWriter(os.path.join(exp.workdir, "metrics.jsonl"))
     is_main = jax.process_index() == 0
+    # optional experiment tracker (reference train_lfm.py:44-52 inits
+    # wandb on the main process): config.tracker = {name: "wandb",
+    # project, run_name, mode}; metrics always land in metrics.jsonl too
+    tracker = dict(cfg.get("tracker") or {})
+    use_wandb = is_main and tracker.get("name") == "wandb"
+    metrics_w = MetricsWriter(
+        os.path.join(exp.workdir, "metrics.jsonl"),
+        use_wandb=use_wandb,
+        wandb_kwargs=dict(
+            project=tracker.get("project", "lfm_uvit"),
+            name=tracker.get("run_name") or None,
+            mode=tracker.get("mode", "online"),
+            config=config.to_dict() if hasattr(config, "to_dict") else None,
+        ) if use_wandb else None,
+    )
 
     state = try_resume(exp.ckpt, exp.state)
     start_step = int(state.step)

@@ -40,11 +40,14 @@ def dct2str(dct: Dict[str, Any]) -> str:
 
 class MetricsWriter:
     """Append-only JSONL metrics (the wandb-independent record); also
-    forwards to wandb when available and enabled."""
+    forwards to wandb when enabled and to any registered callback sinks
+    (generic experiment-tracker hook — each sink is ``fn(step, dict)``).
+    """
 
     def __init__(self, path: Optional[str] = None, use_wandb: bool = False,
-                 wandb_kwargs: Optional[dict] = None):
+                 wandb_kwargs: Optional[dict] = None, sinks=()):
         self.path = path
+        self.sinks = list(sinks)
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self._wandb = None
@@ -56,6 +59,9 @@ class MetricsWriter:
                 wandb.init(**(wandb_kwargs or {}))
             except ImportError:
                 logging.warning("wandb not installed; JSONL metrics only")
+
+    def add_sink(self, fn) -> None:
+        self.sinks.append(fn)
 
     def write(self, step: int, metrics: Dict[str, Any]) -> None:
         rec = {"step": int(step), "time": time.time()}
@@ -69,6 +75,8 @@ class MetricsWriter:
                 f.write(json.dumps(rec) + "\n")
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
+        for fn in self.sinks:
+            fn(step, rec)
 
 
 def cnt_params(params) -> int:
