@@ -1,0 +1,353 @@
+"""Real-weights validation battery (asset-gated).
+
+Round-1 parity tests exercise the torch->flax converters with *random*
+weights; this module upgrades every parity claim to *published* weights
+the moment the files from ``docs/assets.md`` appear:
+
+- SD KL-VAE: encode-moments + decode parity vs the reference torch
+  FrozenAutoencoderKL (`/root/reference/libs/autoencoder.py:428-460`).
+- CLIP text encoder: last_hidden_state parity vs HF torch CLIPTextModel
+  (`/root/reference/libs/clip.py:38-91`).
+- U-ViT checkpoints: forward parity vs the reference torch UViT
+  (`libs/uvit.py:306-351`), architecture inferred from tensor shapes.
+- SD LDM UNet: forward parity vs the reference UNetModel after the
+  ``model.diffusion_model.`` strip (`tools/utils_uvit.py:168-209`).
+- FID Inception: pool3 activation parity vs pytorch-fid's network
+  (`tools/inception.py:13,184-210`), loaded from the local weights file.
+- FID smoke: stats->distance pipeline self-consistency on 16 samples.
+
+Each check returns ``{"name", "ok", **metrics}`` and never raises on a
+missing asset — the CLI prints a table, the pytest wrappers skip.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+REF = "/root/reference"
+HAS_REF = os.path.isdir(os.path.join(REF, "libs"))
+
+DEFAULT_ASSETS = {
+    "vae": "assets/stable-diffusion/autoencoder_kl.pth",
+    "clip": "assets/clip-vit-large-patch14",
+    "uvit": "assets/pretrained_weights/imagenet256_uvit_large.pth",
+    "sd_unet": "assets/pretrained_weights/sd_unet.pth",
+    "inception": "assets/fid/pt_inception-2015-12-05.pth",
+}
+
+# heads are not recoverable from tensor shapes; published U-ViT sizes
+# (reference configs/*.py nnet blocks)
+_HEADS_BY_DIM = {512: 8, 768: 12, 1024: 16, 1152: 16}
+
+
+def _maxerr(a, b) -> float:
+    return float(np.max(np.abs(np.asarray(a, np.float32)
+                               - np.asarray(b, np.float32))))
+
+
+def _ref_module(relpath: str, name: str):
+    import importlib.util
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def validate_vae(path: str, tol: float = 5e-3) -> Dict[str, Any]:
+    """Flax VAE vs reference torch FrozenAutoencoderKL, same weights."""
+    import jax.numpy as jnp
+    import torch
+
+    from ..codecs.convert import load_torch_checkpoint, vae_torch_to_flax
+    from ..codecs.vae import AutoencoderKL
+
+    sd = load_torch_checkpoint(path)
+    params = {"params": vae_torch_to_flax(sd)}
+    vae = AutoencoderKL()
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, 256, 256, 3)).astype(np.float32).clip(-1, 1)
+    z = rng.normal(size=(1, 32, 32, 4)).astype(np.float32)
+
+    moments = np.asarray(vae.apply(params, jnp.asarray(img),
+                                   method=vae.encode_moments))
+    recon = np.asarray(vae.apply(params, jnp.asarray(z), method=vae.decode))
+    out: Dict[str, Any] = {"name": "vae"}
+    if not HAS_REF:
+        out.update(ok=bool(np.isfinite(moments).all()
+                           and np.isfinite(recon).all()),
+                   note="reference absent: finiteness only")
+        return out
+    ref = _ref_module("libs/autoencoder.py", "ref_autoencoder")
+    ddconfig = dict(double_z=True, z_channels=4, resolution=256,
+                    in_channels=3, out_ch=3, ch=128, ch_mult=[1, 2, 4, 4],
+                    num_res_blocks=2, attn_resolutions=[], dropout=0.0)
+    model_t = ref.FrozenAutoencoderKL(ddconfig, 4, path, 0.18215).eval()
+    with torch.no_grad():
+        m_ref = model_t.encode_moments(
+            torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+        # reference decode expects the scaled latent (z/scale inside)
+        r_ref = model_t.decode(
+            torch.from_numpy(z.transpose(0, 3, 1, 2))).numpy()
+    e_m = _maxerr(moments.transpose(0, 3, 1, 2), m_ref)
+    e_r = _maxerr(recon.transpose(0, 3, 1, 2), r_ref)
+    out.update(ok=(e_m < tol and e_r < tol),
+               moments_maxerr=e_m, decode_maxerr=e_r, tol=tol)
+    return out
+
+
+def validate_clip(clip_dir: str, tol: float = 2e-3) -> Dict[str, Any]:
+    """Flax CLIP text tower vs HF torch, same weights + tokenizer."""
+    import torch
+    import transformers
+
+    from ..codecs.clip_text import FrozenCLIPEmbedder, clip_torch_to_flax
+    from ..codecs.convert import load_torch_checkpoint
+
+    texts = ["a photograph of an astronaut riding a horse",
+             "a smiling woman with glasses", ""]
+    weights = os.path.join(clip_dir, "pytorch_model.bin")
+    if not os.path.exists(weights):
+        weights = clip_dir
+    tok = transformers.CLIPTokenizer.from_pretrained(clip_dir)
+    params = {"params": clip_torch_to_flax(load_torch_checkpoint(weights))}
+    ours = np.asarray(FrozenCLIPEmbedder(params, tok).encode(texts))
+
+    model_t = transformers.CLIPTextModel.from_pretrained(clip_dir).eval()
+    batch = tok(texts, truncation=True, max_length=77, padding="max_length",
+                return_tensors="pt")
+    with torch.no_grad():
+        theirs = model_t(input_ids=batch["input_ids"]).last_hidden_state.numpy()
+    err = _maxerr(ours, theirs)
+    return {"name": "clip", "ok": err < tol, "last_hidden_maxerr": err,
+            "tol": tol}
+
+
+def infer_uvit_kwargs(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Recover the U-ViT constructor kwargs from a torch state dict."""
+    pos = np.asarray(sd["pos_embed"])
+    embed_dim = pos.shape[-1]
+    pe = np.asarray(sd["patch_embed.proj.weight"])  # [D, C, p, p]
+    in_chans, patch = pe.shape[1], pe.shape[2]
+    num_classes = (np.asarray(sd["label_emb.weight"]).shape[0]
+                   if "label_emb.weight" in sd else -1)
+    extras = 2 if num_classes > 0 else 1
+    num_patches = pos.shape[1] - extras
+    img_size = int(round(num_patches ** 0.5)) * patch
+    # UViT(depth) builds depth//2 in-blocks + mid + depth//2 out-blocks
+    n_in = len({k.split(".")[1] for k in sd if k.startswith("in_blocks.")})
+    return dict(
+        img_size=img_size, patch_size=patch, in_chans=in_chans,
+        embed_dim=embed_dim, depth=2 * n_in,
+        num_heads=_HEADS_BY_DIM.get(embed_dim, max(embed_dim // 64, 1)),
+        mlp_time_embed=any(k.startswith("time_embed") for k in sd),
+        num_classes=num_classes,
+        qkv_bias="in_blocks.0.attn.qkv.bias" in sd,
+        conv="final_layer.weight" in sd,
+    )
+
+
+def validate_uvit(path: str, tol: float = 2e-3) -> Dict[str, Any]:
+    """Published U-ViT checkpoint: flax forward vs reference torch."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..codecs.convert import (
+        load_torch_checkpoint,
+        merge_params,
+        uvit_torch_to_flax,
+    )
+    from ..models import UViT
+
+    sd = load_torch_checkpoint(path)
+    kw = infer_uvit_kwargs(sd)
+    model = UViT(**kw)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, kw["img_size"], kw["img_size"],
+                         kw["in_chans"])).astype(np.float32)
+    t = np.array([100.0, 700.0], np.float32)
+    y = (np.array([3, 7], np.int64) if kw["num_classes"] > 0 else None)
+
+    init = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x[:1]),
+                               jnp.asarray(t[:1]),
+                               None if y is None else jnp.asarray(y[:1]))
+    conv = uvit_torch_to_flax(sd)
+    params = merge_params({"params": conv}, init)
+    ours, _ = model.apply(params, jnp.asarray(x), jnp.asarray(t),
+                          None if y is None else jnp.asarray(y))
+    out: Dict[str, Any] = {"name": f"uvit:{os.path.basename(path)}",
+                           "arch": {k: v for k, v in kw.items()}}
+    if not HAS_REF:
+        out.update(ok=bool(np.isfinite(np.asarray(ours)).all()),
+                   note="reference absent: finiteness only")
+        return out
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+
+    libs = importlib.import_module("libs.uvit")
+    ref_kw = dict(kw)
+    ref_kw["conv"] = ref_kw.pop("conv")
+    model_t = libs.UViT(**{**ref_kw, "num_classes": kw["num_classes"]}).eval()
+    missing, unexpected = model_t.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+        strict=False)
+    with torch.no_grad():
+        theirs = model_t(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(t),
+            **({} if y is None else {"y": torch.from_numpy(y)}),
+        )[0].numpy()
+    err = _maxerr(np.asarray(ours).transpose(0, 3, 1, 2), theirs)
+    scale = float(np.abs(theirs).max())
+    out.update(ok=err < tol * max(scale, 1.0), fwd_maxerr=err,
+               out_scale=scale, tol=tol,
+               missing_keys=list(missing), unexpected_keys=list(unexpected))
+    return out
+
+
+def validate_unet(path: str, tol: float = 5e-3) -> Dict[str, Any]:
+    """SD LDM UNet checkpoint (full SD ckpt or bare diffusion_model):
+    flax forward vs reference UNetModel, after prefix strip."""
+    import jax.numpy as jnp
+    import torch
+
+    from ..codecs.convert import load_torch_checkpoint, unet_torch_to_flax
+    from ..models.unet import UNetModel
+
+    sd = load_torch_checkpoint(path)
+    prefix = "model.diffusion_model."
+    stripped = {k[len(prefix):]: v for k, v in sd.items()
+                if k.startswith(prefix)} or sd
+    mc = int(np.asarray(stripped["time_embed.0.weight"]).shape[1])
+    ctx = int(np.asarray(
+        stripped["input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight"]
+    ).shape[1])
+    kw = dict(
+        in_channels=4, model_channels=mc, out_channels=4, num_res_blocks=2,
+        attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4),
+        num_heads=8, use_spatial_transformer=True, transformer_depth=1,
+        context_dim=ctx,
+    )
+    model = UNetModel(**kw)
+    params = {"params": unet_torch_to_flax(stripped)}
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 32, 32, 4)).astype(np.float32)
+    t = np.array([500.0], np.float32)
+    c = rng.normal(size=(1, 77, ctx)).astype(np.float32)
+    ours, _ = model.apply(params, jnp.asarray(x), jnp.asarray(t),
+                          jnp.asarray(c))
+    out: Dict[str, Any] = {"name": "sd_unet", "model_channels": mc}
+    if not HAS_REF:
+        out.update(ok=bool(np.isfinite(np.asarray(ours)).all()),
+                   note="reference absent: finiteness only")
+        return out
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+
+    oam = importlib.import_module("libs.sd.openaimodel")
+    model_t = oam.UNetModel(
+        image_size=32, dims=2, use_checkpoint=False, legacy=False,
+        dropout=0.0, **kw).eval()
+    missing, unexpected = model_t.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in stripped.items()},
+        strict=False)
+    with torch.no_grad():
+        theirs = model_t(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                         torch.from_numpy(t),
+                         context=torch.from_numpy(c))[0].numpy()
+    err = _maxerr(np.asarray(ours).transpose(0, 3, 1, 2), theirs)
+    scale = float(np.abs(theirs).max())
+    out.update(ok=err < tol * max(scale, 1.0), fwd_maxerr=err,
+               out_scale=scale, tol=tol,
+               missing_keys=list(missing)[:8],
+               unexpected_keys=list(unexpected)[:8])
+    return out
+
+
+def validate_inception(path: str, tol: float = 2e-3) -> Dict[str, Any]:
+    """Flax InceptionV3 pool3 vs pytorch-fid's network (local weights)."""
+    from ..evals.fid import InceptionFeaturizer
+
+    rng = np.random.default_rng(0)
+    imgs = rng.random((4, 299, 299, 3)).astype(np.float32)  # [0,1]
+    feat = InceptionFeaturizer(path)
+    ours = np.asarray(feat(imgs))
+    out: Dict[str, Any] = {"name": "inception"}
+    if not HAS_REF:
+        out.update(ok=bool(np.isfinite(ours).all()),
+                   note="reference absent: finiteness only")
+        return out
+    import torch
+
+    ref = _ref_module("tools/inception.py", "ref_inception")
+    ref.load_state_dict_from_url = (
+        lambda url, progress=True: torch.load(path, map_location="cpu")
+    )
+    model_t = ref.InceptionV3(output_blocks=[3], resize_input=False,
+                              normalize_input=True).eval()
+    with torch.no_grad():
+        theirs = model_t(torch.from_numpy(imgs.transpose(0, 3, 1, 2)))[0]
+        theirs = theirs.squeeze(-1).squeeze(-1).numpy()
+    err = _maxerr(ours, theirs)
+    out.update(ok=err < tol, pool3_maxerr=err, tol=tol)
+    return out
+
+
+def fid_smoke(inception_path: str, work_dir: str,
+              n: int = 16) -> Dict[str, Any]:
+    """16-sample pipeline smoke: FID(dir, stats(dir)) must be ~0."""
+    from PIL import Image
+
+    from ..evals.fid import fid_given_paths, save_statistics_of_path
+
+    img_dir = os.path.join(work_dir, "fid_smoke_imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, f"{i}.png"))
+    from ..evals.fid import InceptionFeaturizer
+
+    feat = InceptionFeaturizer(inception_path)
+    npz = os.path.join(work_dir, "fid_smoke_stats.npz")
+    save_statistics_of_path(img_dir, npz, featurizer=feat)
+    fid = fid_given_paths(npz, img_dir, weights_path=inception_path)
+    return {"name": "fid_smoke", "ok": abs(fid) < 1e-3, "self_fid": fid}
+
+
+def run_all(assets: Optional[Dict[str, str]] = None,
+            work_dir: str = "/tmp/uspace_validate") -> List[Dict[str, Any]]:
+    """Run every check whose asset exists; SKIP rows for the rest."""
+    assets = {**DEFAULT_ASSETS, **(assets or {})}
+    os.makedirs(work_dir, exist_ok=True)
+    checks = [
+        ("vae", lambda p: validate_vae(p)),
+        ("clip", lambda p: validate_clip(p)),
+        ("uvit", lambda p: validate_uvit(p)),
+        ("sd_unet", lambda p: validate_unet(p)),
+        ("inception", lambda p: validate_inception(p)),
+        ("inception", lambda p: fid_smoke(p, work_dir)),
+    ]
+    results = []
+    for key, fn in checks:
+        path = assets.get(key, "")
+        if not path or not os.path.exists(path):
+            results.append({"name": key, "ok": None,
+                            "note": f"SKIP (missing {path})"})
+            continue
+        try:
+            results.append(fn(path))
+        except Exception as e:  # a broken asset must not kill the battery
+            results.append({"name": key, "ok": False,
+                            "note": f"ERROR {type(e).__name__}: {e}"})
+    return results
