@@ -114,6 +114,41 @@ class TestQuantKernel:
         np.testing.assert_allclose(out, ref, rtol=0.2, atol=0.05)
 
 
+class TestFusedMlp:
+    def _data(self, rng, rows=100, c=64, h=256):
+        k = jax.random.fold_in
+        x = jax.random.normal(rng, (2, rows, c)) * 0.5
+        w1 = jax.random.normal(k(rng, 1), (c, h)) * 0.05
+        b1 = jax.random.normal(k(rng, 2), (h,)) * 0.02
+        w2 = jax.random.normal(k(rng, 3), (h, c)) * 0.05
+        b2 = jax.random.normal(k(rng, 4), (c,)) * 0.02
+        ref = jax.nn.gelu(x @ w1 + b1, approximate=False) @ w2 + b2
+        return x, w1, b1, w2, b2, ref
+
+    def test_bf16_kernel_matches_xla(self, rng):
+        from uspace_tpu.ops.mlp import fused_mlp
+
+        x, w1, b1, w2, b2, ref = self._data(rng)
+        out = fused_mlp(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+    def test_int8_kernel_close(self, rng):
+        from uspace_tpu.ops.mlp import fused_mlp
+
+        x, w1, b1, w2, b2, ref = self._data(rng)
+        out = fused_mlp(x, w1, b1, w2, b2, quant=True)
+        assert _cosine(out, ref) > 0.999
+
+    def test_row_padding(self, rng):
+        """Row counts that don't divide the tile must round-trip."""
+        from uspace_tpu.ops.mlp import fused_mlp
+
+        x, w1, b1, w2, b2, ref = self._data(rng, rows=257)
+        out = fused_mlp(x, w1, b1, w2, b2)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
 class TestQuantModelView:
     def test_uvit_quant_view_quality_gate(self, rng):
         """The int8 view must share the exact param tree with the normal

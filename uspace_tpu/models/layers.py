@@ -33,7 +33,14 @@ LN_EPS = 1e-5
 
 
 def gelu_exact(x):
-    return jax.nn.gelu(x, approximate=False)
+    """Exact (erf) GELU via the Abramowitz–Stegun polynomial
+    (ops/mlp._gelu_exact, |err| <= 1.5e-7 — below bf16 resolution).
+    XLA lowers jnp.erfc to a much slower transcendental sequence on the
+    VPU; the polynomial measured ~25% faster on the whole MLP at the
+    bench shape. Evaluated in f32 (fuses into the surrounding graph)."""
+    from ..ops.mlp import _gelu_exact
+
+    return _gelu_exact(x.astype(jnp.float32)).astype(x.dtype)
 
 
 def timestep_embedding(timesteps: Array, dim: int, max_period: float = 10000.0):
@@ -159,10 +166,23 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         out_dim = self.out_dim or x.shape[-1]
-        x = _dense(self.quant, self.hidden_dim, dtype=self.dtype,
-                   name="fc1")(x)
+        if self.quant:
+            # fully fused int8 MLP kernel: fc1+GELU+fc2 with the hidden
+            # tensor resident in VMEM (ops/mlp.py). Params live at the
+            # same tree paths nn.Dense would create.
+            from ..ops.mlp import fused_mlp
+
+            w1, b1 = _DenseKernel(self.hidden_dim, use_bias=True,
+                                  name="fc1")(x.shape[-1])
+            w2, b2 = _DenseKernel(out_dim, use_bias=True,
+                                  name="fc2")(self.hidden_dim)
+            return fused_mlp(x.astype(self.dtype), w1, b1, w2, b2,
+                             quant=True)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     kernel_init=dense_init, name="fc1")(x)
         x = gelu_exact(x)
-        x = _dense(self.quant, out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(out_dim, dtype=self.dtype, kernel_init=dense_init,
+                     name="fc2")(x)
         return x
 
 

@@ -1,0 +1,223 @@
+"""Fused transformer-MLP Pallas kernels (bf16 and int8 W8A8).
+
+The U-ViT MLP (fc1 -> GELU -> fc2, hidden = 4C) is ~61% of the model's
+FLOPs. Unfused, the [B*L, 4C] hidden tensor makes two HBM round trips
+(fc1 write + fc2 read; ~120 MB per block at the bench shape), and the
+int8 XLA path adds an int32 dequant round trip after each matmul. This
+kernel keeps everything on-chip:
+
+- grid over row tiles of the flattened [B*L, C] input;
+- both weight matrices DMA'd to VMEM once (int8 halves that traffic and
+  doubles MXU rate where the hardware path exists);
+- fc1 computed in column slices (bounds the int32/f32 transient),
+  dequant + exact GELU fused in-registers, hidden tile re-quantized
+  per-row for fc2, fc2 accumulated in f32 over hidden slices;
+- only the [rows, C] output tile leaves the core.
+
+Inference-only (the sampling view); training keeps the XLA MLP whose
+backward XLA already schedules well. Reference counterpart: the torch
+MLP in `/root/reference/libs/timm.py:96-112` (cuDNN-fused on GPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+Array = jax.Array
+
+_ROW_TILE = 256
+_COL_SLICES = 8  # fc1 output computed in hidden/_COL_SLICES column strips
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _erf_poly(x):
+    """erf via Abramowitz–Stegun 7.1.26 (|err| <= 1.5e-7): Mosaic has no
+    erf/erfc lowering, and 1.5e-7 is far below bf16 resolution."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """Exact (erf) GELU, matching the reference's torch GELU
+    (`libs/timm.py:96-112`) to ~1e-7."""
+    return 0.5 * x * (1.0 + _erf_poly(x * 0.7071067811865476))
+
+
+def _mlp_kernel_bf16(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                     w1_v, w2_v, h_v, sem, *, hidden: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
+        cp.start()
+        cp.wait()
+        cp2 = pltpu.make_async_copy(w2_ref, w2_v, sem)
+        cp2.start()
+        cp2.wait()
+
+    x = x_ref[:]
+    hs = hidden // _COL_SLICES
+    for j in range(_COL_SLICES):
+        part = jax.lax.dot_general(
+            x, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[0:1, j * hs:(j + 1) * hs]
+        h_v[:, j * hs:(j + 1) * hs] = _gelu_exact(part).astype(h_v.dtype)
+    acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
+    for j in range(_COL_SLICES):
+        acc += jax.lax.dot_general(
+            h_v[:, j * hs:(j + 1) * hs], w2_v[j * hs:(j + 1) * hs, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    o_ref[:] = (acc + b2_ref[0:1, :]).astype(o_ref.dtype)
+
+
+def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                     o_ref, w1_v, w2_v, h_v, sem, *, hidden: int):
+    """int8 variant: weights arrive pre-quantized (int8 + per-column f32
+    scales); activations and the hidden tile are row-quantized on the
+    VPU; both matmuls run int8 x int8 -> int32 on the MXU."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
+        cp.start()
+        cp.wait()
+        cp2 = pltpu.make_async_copy(w2_ref, w2_v, sem)
+        cp2.start()
+        cp2.wait()
+
+    x = x_ref[:].astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
+    xq = jnp.round(x * (127.0 / amax)).astype(jnp.int8)
+    xs = amax * (1.0 / 127.0)  # [rows, 1]
+    hs = hidden // _COL_SLICES
+    # fc1 + GELU, column strips; h kept bf16 in VMEM
+    for j in range(_COL_SLICES):
+        part = jax.lax.dot_general(
+            xq, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        deq = (part.astype(jnp.float32) * xs
+               * s1_ref[0:1, j * hs:(j + 1) * hs]
+               + b1_ref[0:1, j * hs:(j + 1) * hs])
+        h_v[:, j * hs:(j + 1) * hs] = _gelu_exact(deq).astype(h_v.dtype)
+    # row-quantize the hidden tile (amax over the full row)
+    hf = h_v[:].astype(jnp.float32)
+    hmax = jnp.maximum(jnp.max(jnp.abs(hf), axis=-1, keepdims=True), 1e-8)
+    hscale = hmax * (1.0 / 127.0)
+    acc = jnp.zeros((xq.shape[0], o_ref.shape[-1]), jnp.int32)
+    for j in range(_COL_SLICES):
+        hq = jnp.round(hf[:, j * hs:(j + 1) * hs] * (127.0 / hmax)
+                       ).astype(jnp.int8)
+        acc += jax.lax.dot_general(
+            hq, w2_v[j * hs:(j + 1) * hs, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+    out = acc.astype(jnp.float32) * hscale * s2_ref[0:1, :] + b2_ref[0:1, :]
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _call_mlp(x2d, args, kernel, hidden, out_dim, interpret,
+              weights_hbm_idx):
+    rows, c = x2d.shape
+    rp = _round_up(rows, _ROW_TILE)
+    xp = x2d if rp == rows else jnp.pad(x2d, ((0, rp - rows), (0, 0)))
+    vmem = pltpu.VMEM if (_HAS_PLTPU and not interpret) else None
+    anyspace = pl.ANY if (_HAS_PLTPU and not interpret) else None
+    in_specs = [pl.BlockSpec((_ROW_TILE, c), lambda i: (i, 0),
+                             memory_space=vmem)]
+    for idx in range(len(args)):
+        in_specs.append(pl.BlockSpec(
+            memory_space=anyspace if idx in weights_hbm_idx else vmem))
+    wdtype = args[0].dtype
+    out = pl.pallas_call(
+        functools.partial(kernel, hidden=hidden),
+        grid=(rp // _ROW_TILE,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((_ROW_TILE, out_dim), lambda i: (i, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((rp, out_dim), x2d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, hidden), wdtype),
+            pltpu.VMEM((hidden, out_dim), wdtype),
+            pltpu.VMEM((_ROW_TILE, hidden), x2d.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, *args)
+    return out[:rows]
+
+
+def fused_mlp(
+    x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
+    quant: bool = False, interpret: Optional[bool] = None,
+) -> Array:
+    """``gelu(x @ w1 + b1) @ w2 + b2`` with the hidden tensor resident in
+    VMEM. ``x``: [..., C]; w1: [C, H]; w2: [H, C']. With ``quant=True``
+    both matmuls run int8 (weight quantization is loop-invariant and
+    hoisted out of the sampling scan). Inference-only."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    lead = x.shape[:-1]
+    c = x.shape[-1]
+    hidden = w1.shape[-1]
+    out_dim = w2.shape[-1]
+    x2d = x.reshape(-1, c)
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    if quant:
+        from .quant import quantize_colwise
+
+        w1q, s1 = quantize_colwise(w1)
+        w2q, s2 = quantize_colwise(w2)
+        out = _call_mlp(
+            x2d, (w1q, row(s1), row(b1), w2q, row(s2), row(b2)),
+            _mlp_kernel_int8, hidden, out_dim, interpret,
+            weights_hbm_idx={0, 3},
+        )
+    elif (c * hidden + hidden * out_dim) * 2 > 12 * 2**20 and not interpret:
+        # bf16 weights would overflow the ~16MB VMEM budget resident;
+        # XLA schedules the unfused bf16 MLP well (~88% MFU end to end)
+        cast = x.dtype
+        h = _gelu_exact(
+            jax.lax.dot_general(x2d, w1.astype(cast), (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            + b1.astype(jnp.float32)).astype(cast)
+        out = (jax.lax.dot_general(h, w2.astype(cast), (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               + b2.astype(jnp.float32)).astype(x.dtype)
+    else:
+        cast = x.dtype
+        out = _call_mlp(
+            x2d, (w1.astype(cast), row(b1), w2.astype(cast), row(b2)),
+            _mlp_kernel_bf16, hidden, out_dim, interpret,
+            weights_hbm_idx={0, 2},
+        )
+    return out.reshape(*lead, out_dim)
