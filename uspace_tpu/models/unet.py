@@ -140,7 +140,9 @@ class FeedForwardGEGLU(nn.Module):
         inner = c * self.mult
         xg = nn.Dense(2 * inner, dtype=self.dtype, name="geglu_proj")(x)
         xx, gate = jnp.split(xg, 2, axis=-1)
-        h = xx * jax.nn.gelu(gate, approximate=False)
+        from .layers import gelu_exact
+
+        h = xx * gelu_exact(gate)  # erf-polynomial (fast) exact GELU
         return nn.Dense(c, dtype=self.dtype, name="out")(h)
 
 

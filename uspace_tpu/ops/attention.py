@@ -60,6 +60,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_rows(l: int) -> int:
+    """Sequence-row padding for the fused kernels. Rows (sublanes) only
+    need 32-alignment (the int8 min tile; bf16 needs 16) — padding to a
+    full 128 lane-tile wasted 33% of the projection/score rows at
+    L=257 (257 -> 384 vs 288). Lanes are padded internally by Mosaic."""
+    return _round_up(l, 32)
+
+
 # ---------------------------------------------------------------------------
 # XLA reference path (math attention) — also the probability-readout path
 # ---------------------------------------------------------------------------
@@ -181,7 +189,7 @@ def _fused_attention(q, k, v, scale: float, interpret: bool):
 
 def _fused_attention_fwd(q, k, v, scale, interpret):
     b, h, l, d = q.shape
-    lp = _round_up(l, 128)
+    lp = _pad_rows(l)
     qp, kp, vp = (_pad_seq(x, lp) for x in (q, k, v))
     out = _fused_call(
         functools.partial(_fwd_kernel, scale=scale, seq_len=l),
@@ -195,7 +203,7 @@ def _fused_attention_fwd(q, k, v, scale, interpret):
 def _fused_attention_bwd(scale, interpret, res, g):
     q, k, v = res
     b, h, l, d = q.shape
-    lp = _round_up(l, 128)
+    lp = _pad_rows(l)
     qp, kp, vp, gp = (_pad_seq(x, lp) for x in (q, k, v, g))
     sd = jax.ShapeDtypeStruct((b, h, lp, d), q.dtype)
     dq, dk, dv = _fused_call(
@@ -262,7 +270,7 @@ def _packed_call(qkv, num_heads, scale, interpret):
     b, l, c3 = qkv.shape
     h = num_heads
     d = c3 // (3 * h)
-    lp = _round_up(l, 128)
+    lp = _pad_rows(l)
     x = qkv if lp == l else jnp.pad(qkv, ((0, 0), (0, lp - l), (0, 0)))
     vmem = pltpu.VMEM if (_HAS_PLTPU and not interpret) else None
     out = pl.pallas_call(
@@ -370,7 +378,7 @@ def _qkv_attn_call(x, w_qkv, num_heads, scale, interpret):
     b, l, c = x.shape
     h = num_heads
     d = c // h
-    lp = _round_up(l, 128)
+    lp = _pad_rows(l)
     xp = x if lp == l else jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
     w = w_qkv.astype(x.dtype)
     if interpret or not _HAS_PLTPU:
@@ -452,7 +460,7 @@ def _qkv_attn_call_q(x, wq, ws, num_heads, scale, interpret):
     b, l, c = x.shape
     h = num_heads
     d = c // h
-    lp = _round_up(l, 128)
+    lp = _pad_rows(l)
     xp = x if lp == l else jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
     if interpret or not _HAS_PLTPU:
         vmem, anyspace = None, None
@@ -478,6 +486,140 @@ def _qkv_attn_call_q(x, wq, ws, num_heads, scale, interpret):
         interpret=interpret,
     )(xp, wq, ws.reshape(1, -1))
     return out[:, :l]
+
+
+def _attn_block_kernel_q(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
+                         wproj_ref, sproj_ref, bproj_ref, o_ref,
+                         wqkv_v, wproj_v, qkv_buf, sem,
+                         *, scale, seq_len, num_heads, head_dim, eps):
+    """int8 W8A8 whole-attention-sub-block kernel:
+    ``x + proj(attention(qkv(LN(x))))`` with int8 projections. vs the
+    bf16 block kernel (kept opt-in as pallas_block): the weights DMA is
+    half the bytes (4MB vs 8MB per block) and the projections run int8,
+    which tips mega-fusion from a loss to a win on the int8 view."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load_weights():
+        cp1 = pltpu.make_async_copy(wqkv_ref, wqkv_v, sem)
+        cp1.start()
+        cp1.wait()
+        cp2 = pltpu.make_async_copy(wproj_ref, wproj_v, sem)
+        cp2.start()
+        cp2.wait()
+
+    x = x_ref[0]  # [Lp, C] bf16
+    c = x.shape[-1]
+    # LayerNorm: f32 row stats, bf16 elementwise (VMEM budget)
+    xf32sum = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+    mu = xf32sum / c
+    var = (jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                   keepdims=True) / c) - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    xln = (x - mu.astype(x.dtype)) * inv * lns_ref[0] + lnb_ref[0]
+    # row-quantize LN output, int8 QKV projection in 3 column slices
+    xlf = xln.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xlf), axis=-1, keepdims=True), 1e-8)
+    xq = jnp.round(xlf * (127.0 / amax)).astype(jnp.int8)
+    xs = amax * (1.0 / 127.0)
+    for j in range(3):
+        acc = jax.lax.dot_general(
+            xq, wqkv_v[:, j * c:(j + 1) * c], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        deq = acc.astype(jnp.float32) * xs * sqkv_ref[0:1, j * c:(j + 1) * c]
+        qkv_buf[:, j * c:(j + 1) * c] = deq.astype(qkv_buf.dtype)
+    h, d = num_heads, head_dim
+    lp = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    key_mask = col < seq_len
+    for i in range(h):
+        q = qkv_buf[:, i * d:(i + 1) * d]
+        k = qkv_buf[:, (h + i) * d:(h + i + 1) * d]
+        v = qkv_buf[:, (2 * h + i) * d:(2 * h + i + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(key_mask, s, _MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        # dead q-slot reuse as per-head output store
+        qkv_buf[:, i * d:(i + 1) * d] = o.astype(qkv_buf.dtype)
+    # int8 out-projection + residual
+    af = qkv_buf[:, 0:c].astype(jnp.float32)
+    aamax = jnp.maximum(jnp.max(jnp.abs(af), axis=-1, keepdims=True), 1e-8)
+    aq = jnp.round(af * (127.0 / aamax)).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        aq, wproj_v[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = (acc.astype(jnp.float32) * (aamax * (1.0 / 127.0))
+           * sproj_ref[0:1, :] + bproj_ref[0:1, :])
+    o_ref[0] = x + out.astype(o_ref.dtype)
+
+
+def _attn_block_q_call(x, ln_scale, ln_bias, w_qkv, w_proj, b_proj,
+                       num_heads, scale, eps, interpret):
+    from .quant import quantize_colwise
+
+    b, l, c = x.shape
+    h = num_heads
+    d = c // h
+    lp = _pad_rows(l)
+    xp = x if lp == l else jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    wq1, s1 = quantize_colwise(w_qkv)
+    wq2, s2 = quantize_colwise(w_proj)
+    vmem = None if (interpret or not _HAS_PLTPU) else pltpu.VMEM
+    anyspace = None if (interpret or not _HAS_PLTPU) else pl.ANY
+    row = lambda a, dt: a.reshape(1, -1).astype(dt)
+    out = pl.pallas_call(
+        functools.partial(_attn_block_kernel_q, scale=scale, seq_len=l,
+                          num_heads=h, head_dim=d, eps=eps),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0), memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),      # ln scale
+            pl.BlockSpec(memory_space=vmem),      # ln bias
+            pl.BlockSpec(memory_space=anyspace),  # wqkv int8 (HBM)
+            pl.BlockSpec(memory_space=vmem),      # qkv col scales
+            pl.BlockSpec(memory_space=anyspace),  # wproj int8 (HBM)
+            pl.BlockSpec(memory_space=vmem),      # proj col scales
+            pl.BlockSpec(memory_space=vmem),      # proj bias
+        ],
+        out_specs=pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((b, lp, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, 3 * c), jnp.int8),
+            pltpu.VMEM((c, c), jnp.int8),
+            pltpu.VMEM((lp, 3 * c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, row(ln_scale, x.dtype), row(ln_bias, x.dtype), wq1,
+      row(s1, jnp.float32), wq2, row(s2, jnp.float32),
+      row(b_proj, jnp.float32))
+    return out[:, :l]
+
+
+def fused_attention_block_q(
+    x: Array, ln_scale: Array, ln_bias: Array, w_qkv: Array,
+    w_proj: Array, b_proj: Array, num_heads: int,
+    scale: Optional[float] = None, eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """int8 variant of :func:`fused_attention_block` (inference-only)."""
+    c = x.shape[-1]
+    if scale is None:
+        scale = float(c // num_heads) ** -0.5
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _attn_block_q_call(x, ln_scale, ln_bias, w_qkv, w_proj, b_proj,
+                              num_heads, scale, eps, interpret)
 
 
 def _qkvproj_xla(x, w_qkv, num_heads, scale):
@@ -605,7 +747,7 @@ def _attn_block_call(x, ln_scale, ln_bias, w_qkv, w_proj, b_proj,
     b, l, c = x.shape
     h = num_heads
     d = c // h
-    lp = _round_up(l, 128)
+    lp = _pad_rows(l)
     xp = x if lp == l else jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
     cast = x.dtype
     vmem = None if interpret else pltpu.VMEM

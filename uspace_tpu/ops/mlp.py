@@ -145,6 +145,84 @@ def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _mlp_kernel_int8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+                           w2_ref, s2_ref, b2_ref, o_ref, w1_v, w2_v, h_v,
+                           sem, *, hidden: int, eps: float):
+    """Whole MLP sub-block, int8: ``x + fc2(gelu(fc1(LN(x))))``. The LN
+    output, hidden tensor and fc2 input never touch HBM."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
+        cp.start()
+        cp.wait()
+        cp2 = pltpu.make_async_copy(w2_ref, w2_v, sem)
+        cp2.start()
+        cp2.wait()
+
+    x = x_ref[:]
+    c = x.shape[-1]
+    mu = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True) / c
+    var = (jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                   keepdims=True) / c) - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    xln = ((x - mu.astype(x.dtype)) * inv * lns_ref[0:1, :].astype(x.dtype)
+           + lnb_ref[0:1, :].astype(x.dtype)).astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xln), axis=-1, keepdims=True), 1e-8)
+    xq = jnp.round(xln * (127.0 / amax)).astype(jnp.int8)
+    xs = amax * (1.0 / 127.0)
+    hs = hidden // _COL_SLICES
+    for j in range(_COL_SLICES):
+        part = jax.lax.dot_general(
+            xq, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        deq = (part.astype(jnp.float32) * xs
+               * s1_ref[0:1, j * hs:(j + 1) * hs]
+               + b1_ref[0:1, j * hs:(j + 1) * hs])
+        h_v[:, j * hs:(j + 1) * hs] = _gelu_exact(deq).astype(h_v.dtype)
+    hf = h_v[:].astype(jnp.float32)
+    hmax = jnp.maximum(jnp.max(jnp.abs(hf), axis=-1, keepdims=True), 1e-8)
+    hscale = hmax * (1.0 / 127.0)
+    acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.int32)
+    for j in range(_COL_SLICES):
+        hq = jnp.round(hf[:, j * hs:(j + 1) * hs] * (127.0 / hmax)
+                       ).astype(jnp.int8)
+        acc += jax.lax.dot_general(
+            hq, w2_v[j * hs:(j + 1) * hs, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+    out = acc.astype(jnp.float32) * hscale * s2_ref[0:1, :] + b2_ref[0:1, :]
+    o_ref[:] = x + out.astype(o_ref.dtype)
+
+
+def fused_mlp_block_q(
+    x: Array, ln_scale: Array, ln_bias: Array,
+    w1: Array, b1: Array, w2: Array, b2: Array,
+    eps: float = 1e-5, interpret: Optional[bool] = None,
+) -> Array:
+    """``x + fc2(gelu(fc1(LN(x))))`` — the complete pre-norm MLP
+    sub-block with int8 projections (inference-only)."""
+    from .quant import quantize_colwise
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    lead = x.shape[:-1]
+    c = x.shape[-1]
+    hidden = w1.shape[-1]
+    x2d = x.reshape(-1, c)
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    w1q, s1 = quantize_colwise(w1)
+    w2q, s2 = quantize_colwise(w2)
+    out = _call_mlp(
+        x2d,
+        (row(ln_scale), row(ln_bias), w1q, row(s1), row(b1),
+         w2q, row(s2), row(b2)),
+        functools.partial(_mlp_kernel_int8_lnres, eps=eps),
+        hidden, c, interpret, weights_hbm_idx={2, 5},
+    )
+    return out.reshape(*lead, c)
+
+
 def _call_mlp(x2d, args, kernel, hidden, out_dim, interpret,
               weights_hbm_idx):
     rows, c = x2d.shape
@@ -157,7 +235,7 @@ def _call_mlp(x2d, args, kernel, hidden, out_dim, interpret,
     for idx in range(len(args)):
         in_specs.append(pl.BlockSpec(
             memory_space=anyspace if idx in weights_hbm_idx else vmem))
-    wdtype = args[0].dtype
+    wdtype = args[min(weights_hbm_idx)].dtype
     out = pl.pallas_call(
         functools.partial(kernel, hidden=hidden),
         grid=(rp // _ROW_TILE,),
