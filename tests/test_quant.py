@@ -169,6 +169,23 @@ class TestQuantModelView:
         rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         assert rel < 0.1
 
+    def test_uvit_t2i_quant_view(self, rng):
+        from uspace_tpu.models import UViTT2I
+
+        kw = dict(img_size=16, patch_size=2, in_chans=4, embed_dim=64,
+                  depth=2, num_heads=4, clip_dim=16, num_clip_token=5)
+        m = UViTT2I(**kw)
+        mq = UViTT2I(**kw, quant=True)
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        t = jnp.full((2,), 0.4)
+        ctx = jax.random.normal(jax.random.fold_in(rng, 1), (2, 5, 16))
+        params = m.init(rng, x, t, ctx)
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(mq.init(rng, x, t, ctx))
+        ref, _ = m.apply(params, x, t, ctx)
+        out, _ = mq.apply(params, x, t, ctx)
+        assert _cosine(out, ref) > 0.99
+
     def test_uvit_quant_param_tree_identical(self, rng):
         from uspace_tpu.models import UViT
 

@@ -55,6 +55,8 @@ class UViTT2I(nn.Module):
     skip: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    # int8 W8A8 sampling view (ops/quant.py); see models/uvit.py
+    quant: bool = False
 
     @property
     def extras(self) -> int:
@@ -121,7 +123,8 @@ class UViTT2I(nn.Module):
             return cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale, skip=skip,
-                dtype=self.dtype, attn_impl=self.attn_impl, name=name,
+                dtype=self.dtype, attn_impl=self.attn_impl,
+                quant=self.quant, name=name,
             )
 
         def run(blk_args, x, skip, block_id):
