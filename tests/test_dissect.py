@@ -87,6 +87,29 @@ class TestDissectLfmPipeline:
         assert len(lines) == 1 and "rel_mean=" in lines[0]
 
 
+class TestBf16ReadArtifact:
+    def test_read_npz_is_float32_under_bf16_compute(self, tmp_path,
+                                                    cond_feature_dir):
+        """Regression (found on TPU): a bfloat16 compute model used to
+        poison read.npz with ml_dtypes bf16 arrays, which np.save stores
+        as raw void ('|V2') — unloadable. The read artifact must be f32
+        and build_directions must work from it."""
+        from uspace_tpu.cli.dissect_lfm import run
+
+        cfg = _uncond_config(cond_feature_dir)
+        cfg.compute_dtype = "bfloat16"
+        cfg.dissection.read_path_root = str(tmp_path / "read")
+        cfg.dissection.dissect_name = "read"
+        run(cfg, str(tmp_path / "out"))
+        npz = np.load(tmp_path / "read" / "read.npz")
+        assert npz["feats"].dtype == np.float32
+        assert npz["latent"].dtype == np.float32
+        cfg.dissection.dissect_name = "build_attr"
+        run(cfg, str(tmp_path / "out"))
+        dirs = np.load(tmp_path / "read" / "directions_attr.npz")
+        assert np.isfinite(dirs["directions"]).all()
+
+
 @pytest.fixture
 def t2i_feature_dir(tmp_path, np_rng):
     droot = tmp_path / "t2i"

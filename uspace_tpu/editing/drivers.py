@@ -129,10 +129,13 @@ class DissectSession:
             n_seen += x.shape[0]
             if max_samples and n_seen >= max_samples:
                 break
+        # f32 on the way out: np.save round-trips ml_dtypes bfloat16 as
+        # raw void ("|V2"), which nothing can load back — a bf16 compute
+        # model must not poison the read artifact
         out = {
-            "latent": np.concatenate(lat),
-            "feats": np.concatenate(feats),
-            "t_grid": t_grid,
+            "latent": np.concatenate(lat).astype(np.float32),
+            "feats": np.concatenate(feats).astype(np.float32),
+            "t_grid": np.asarray(t_grid, np.float32),
         }
         if attrs:
             out["attr"] = np.concatenate(attrs)
