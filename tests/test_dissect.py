@@ -24,7 +24,7 @@ def _uncond_config(data_dir):
     cfg.dissection.mini_batch_size = 4
     cfg.dissection.n_samples = 8
     cfg.dissection.solver_kwargs.solver_fix_step = 0.25  # 4-step grid
-    cfg.dissection.write_scales = [-1.0, 0.0, 1.0]
+    cfg.dissection.write_scales = (-1.0, 0.0, 1.0)
     return cfg
 
 

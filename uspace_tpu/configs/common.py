@@ -60,8 +60,9 @@ def base_config() -> ml_collections.ConfigDict:
     config.parallel = d(dp=-1, fsdp=1, tp=1)  # dp=-1: all remaining devices
     config.compute_dtype = "bfloat16"
 
-    _scales = [-500, -400, -300, -200, -100, -50, -10, 0,
-               10, 50, 100, 200, 300, 400, 500]
+    # tuple, not list: ml_collections can CLI-override tuples but not lists
+    _scales = (-500, -400, -300, -200, -100, -50, -10, 0,
+               10, 50, 100, 200, 300, 400, 500)
     config.dissection = d(
         has_attr=False,
         dissect_task="uspace_uvit",
@@ -78,6 +79,7 @@ def base_config() -> ml_collections.ConfigDict:
         pca_n=50,
         ith_attr=0,
         t_edit=1.0,
+        e2e_min_effect=1.0,  # editing_e2e pass bar (batch-σ units)
         edit_loc=config_placeholder_str(),
         solver_kwargs=d(
             solver="fixed",

@@ -236,6 +236,68 @@ class SyntheticFeatures(Dataset):
         return out
 
 
+class SyntheticAttrFeatures(Dataset):
+    """Attribute-structured synthetic moments for the end-to-end editing
+    proof (no reference analog — stands in for CelebA/FFHQ latents+attrs
+    so the full read→directions→write workflow is verifiable without the
+    VAE assets). Each sample's latent is
+
+        x = base_std * g(idx)  +  Σ_a  attr_a(idx) * amp * P_a
+
+    with g per-index Gaussian noise and ``P_a`` fixed orthonormal
+    patterns (``patterns()``), stored as VAE-style moments (mean‖logvar,
+    pre-divided by the SD scale factor so ``sample_from_moments``
+    reproduces x + small noise). A trained flow model then genuinely
+    carries the attributes, and a u-space attr-direction edit must move
+    the generated latents' projection onto ``P_a`` — the quantitative
+    proxy used by docs/editing_e2e.md and tests.
+    """
+
+    SCALE = 0.18215  # must match config.autoencoder.scale_factor
+
+    def __init__(self, num: int = 4096, shape=(8, 8, 8), num_attrs: int = 4,
+                 base_std: float = 0.4, amp: float = 1.5,
+                 noise_std: float = 0.05, seed: int = 0):
+        assert shape[-1] % 2 == 0, "moments shape needs mean‖logvar channels"
+        self.num = num
+        self.shape = tuple(shape)
+        self.latent_shape = (*self.shape[:-1], self.shape[-1] // 2)
+        self.num_attrs = num_attrs
+        self.base_std = base_std
+        self.amp = amp
+        self.noise_std = noise_std
+        self.seed = seed
+        self._pat = self.patterns(self.latent_shape, num_attrs)
+
+    @staticmethod
+    def patterns(latent_shape, num_attrs: int) -> np.ndarray:
+        """[A, *latent_shape] fixed orthonormal directions (unit L2)."""
+        dim = int(np.prod(latent_shape))
+        rng = np.random.default_rng(12345)
+        q, _ = np.linalg.qr(rng.normal(size=(dim, num_attrs)))
+        return q.T.reshape(num_attrs, *latent_shape).astype(np.float32)
+
+    def attr_of(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng((self.seed, 1, idx))
+        return (rng.random(self.num_attrs) < 0.5).astype(np.float32)
+
+    def latent_of(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng((self.seed, 0, idx))
+        g = rng.normal(size=self.latent_shape).astype(np.float32)
+        attr = self.attr_of(idx)
+        return self.base_std * g + self.amp * np.tensordot(
+            attr, self._pat, axes=1)
+
+    def __len__(self):
+        return self.num
+
+    def __getitem__(self, idx):
+        mean = self.latent_of(idx) / self.SCALE
+        logvar = np.full_like(mean, 2.0 * np.log(self.noise_std / self.SCALE))
+        return {"x": np.concatenate([mean, logvar], axis=-1),
+                "attr": self.attr_of(idx)}
+
+
 # ---------------------------------------------------------------------------
 # Factories (reference DatasetFactory surface, datasets.py:63-107)
 # ---------------------------------------------------------------------------
@@ -390,6 +452,22 @@ class Synthetic(DatasetFactory):
         return (h, w, c2 // 2)
 
 
+class SyntheticAttr(DatasetFactory):
+    """Attribute-structured synthetic latents (see SyntheticAttrFeatures)."""
+
+    def __init__(self, num=4096, shape=(8, 8, 8), num_attrs=4,
+                 base_std=0.4, amp=1.5, noise_std=0.05, **_):
+        self.train = SyntheticAttrFeatures(num, shape, num_attrs, base_std,
+                                           amp, noise_std)
+        self.test = SyntheticAttrFeatures(max(num // 8, 1), shape, num_attrs,
+                                          base_std, amp, noise_std,
+                                          seed=10_000)
+
+    @property
+    def data_shape(self):
+        return self.train.latent_shape
+
+
 class RawImages(DatasetFactory):
     """Raw image folders (reference real_img / ffhq256 / celeba entries;
     lfm_dataset adapters). Mostly used by extraction, but exposed through
@@ -441,6 +519,7 @@ _REGISTRY = {
     "mscoco256_features": MSCOCO256Features,
     "mmcelebahq256_features_withcaptioncontext": MMCelebAHQ256Features,
     "synthetic": Synthetic,
+    "synthetic_attr": SyntheticAttr,
     "real_img": RawImages,
     "ffhq256": RawImages,
     "celeba": RawImages,
