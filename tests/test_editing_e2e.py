@@ -47,6 +47,7 @@ def _e2e_config():
 
     cfg = get_config()
     cfg.compute_dtype = "float32"
+    cfg.train.ema_rate = 0.99  # toy-length run: EMA must converge
     cfg.train.n_steps = 800
     cfg.train.batch_size = 64
     cfg.train.log_interval = 200

@@ -23,6 +23,8 @@ def get_config():
     config.train.eval_interval = 1500
     config.train.save_interval = 1500
     config.optimizer.lr = 2e-4
+    # short run: 0.9999 EMA would still be ~74% random init at 3k steps
+    config.train.ema_rate = 0.999
     config.optimizer.weight_decay = 0.0
     config.nnet = uvit_nnet(
         embed_dim=128, depth=6, num_heads=4, img_size=8,
@@ -38,7 +40,6 @@ def get_config():
     config.dissection.has_attr = True
     config.dissection.n_samples = 256
     config.dissection.mini_batch_size = 64
-    config.dissection.write_scales = (-300, -200, -100, -50, 0,
-                                      50, 100, 200, 300)
+    config.dissection.write_scales = (-300, -200, -100, 0, 100, 200, 300)
     config.dissection.solver_kwargs.solver_fix_step = 0.02
     return config
