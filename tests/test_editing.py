@@ -158,6 +158,14 @@ class TestAttnEditHelpers:
         assert list(ids[1][:2]) == [1, 2]
         assert ids[0][2] == -1
 
+    def test_phrase_target_ids_explicit(self):
+        # "ids:..." form: explicit context-token indices, no tokenizer
+        # (the p2p CLI path for non-CLIP contexts)
+        ids = phrase_target_ids(["", ""], "ids:1,4", None, max_targets=4)
+        assert ids.shape == (2, 4)
+        assert list(ids[0]) == [1, 4, -1, -1]
+        assert list(ids[1]) == [1, 4, -1, -1]
+
     def test_slice_context_attention(self):
         b, h = 2, 3
         n_img, n_ctx = 16, 5

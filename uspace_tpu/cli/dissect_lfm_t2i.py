@@ -113,9 +113,10 @@ def real_image_editing(config, session, vae_decode, workdir: str,
         attn_edit = None
     elif name == "p2p":
         phrase = tk.get("p2p_to_multiply") or ""
-        if tokenizer is None:
-            raise RuntimeError("p2p needs a CLIP tokenizer for phrase->"
-                               "token-id mapping")
+        if tokenizer is None and not phrase.startswith("ids:"):
+            raise RuntimeError(
+                "p2p needs a CLIP tokenizer for phrase->token-id mapping "
+                "(or pass explicit indices as p2p_to_multiply='ids:1,4')")
         ids = phrase_target_ids(captions, phrase, tokenizer)
         bid = tk.get("target_block_id", -1)
         attn_edit = build_p2p_edit(
@@ -179,7 +180,8 @@ def sampled_image_editing(config, session, vae_decode, workdir: str,
 
     rows = []
     for mult in multipliers:
-        if phrase and tokenizer is not None and float(mult) != 1.0:
+        if (phrase and float(mult) != 1.0
+                and (tokenizer is not None or phrase.startswith("ids:"))):
             ids = phrase_target_ids(captions, phrase, tokenizer)
             edit = build_p2p_edit(n, seq_len, ids, float(mult),
                                   t_edit=float(d.t_edit))

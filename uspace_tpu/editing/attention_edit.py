@@ -47,8 +47,17 @@ def phrase_target_ids(
     """Per-caption context-token indices of ``phrase`` words, padded with
     -1 to [B, max_targets] (reference get_phrase_ids_from_caption,
     utils_t2i.py:112-138). Indices are context-relative (no time-token
-    offset — AttnEdit/p2p_col_mult applies it)."""
+    offset — AttnEdit/p2p_col_mult applies it).
+
+    ``phrase`` may also be the literal form ``"ids:1,4"`` — explicit
+    context-token indices, applied to every caption. That form needs no
+    tokenizer, so the p2p CLI flows run on models whose contexts are not
+    CLIP text (synthetic datasets, precomputed contexts)."""
     out = np.full((len(captions), max_targets), -1, np.int32)
+    if phrase.startswith("ids:"):
+        ids = [int(tok) for tok in phrase[4:].split(",") if tok.strip()]
+        out[:, :min(len(ids), max_targets)] = ids[:max_targets]
+        return out
     for b, cap in enumerate(captions):
         ids: List[int] = []
         for word in phrase.split(" "):
