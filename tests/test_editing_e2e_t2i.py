@@ -46,11 +46,11 @@ def _t2i_config():
     cfg = get_config()
     cfg.compute_dtype = "float32"
     cfg.train.ema_rate = 0.99  # toy-length run: EMA must converge
-    cfg.train.n_steps = 3000
+    cfg.train.n_steps = 2500
     cfg.train.batch_size = 64
     cfg.train.log_interval = 500
-    cfg.train.eval_interval = 3000
-    cfg.train.save_interval = 3000
+    cfg.train.eval_interval = 2500
+    cfg.train.save_interval = 2500
     cfg.nnet.embed_dim = 64
     cfg.nnet.depth = 4
     cfg.nnet.num_clip_token = 6
@@ -59,7 +59,7 @@ def _t2i_config():
     cfg.dataset.vocab = 4
     cfg.dataset.num_tokens = 6
     cfg.dataset.ctx_dim = 16
-    cfg.optimizer.lr = 6e-4
+    cfg.optimizer.lr = 8e-4
     cfg.dl.num_workers = 2
     cfg.sample.n_samples = 4
     cfg.sample.mini_batch_size = 4
@@ -93,4 +93,8 @@ def test_trained_t2i_editing_end_to_end(tmp_path):
     lp = report["checks"]["local_prompt"]
     assert lp["new_word_after"] > lp["new_word_before"] + 0.3, lp
     assert lp["old_word_before"] > lp["old_word_after"] + 0.3, lp
+    cg = report["checks"]["cfg_guidance"]
+    # s=0 erases the caption margin; s=3 at least matches s=1
+    assert abs(cg["margins"][0]) < 0.5 * cg["margins"][1], cg
+    assert cg["margins"][2] >= 0.9 * cg["margins"][1], cg
     assert (tmp_path / "e2e" / "t2i_sweeps.png").exists()

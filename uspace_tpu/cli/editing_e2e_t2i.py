@@ -5,8 +5,8 @@ The T2I analog of `cli/editing_e2e.py`: runs the reference's
 `tools/utils_t2i.py:209-238`; local-prompt context rewrite,
 `utils_t2i.py:240-275`) against a *trained* U-ViT-T2I checkpoint on the
 caption-structured synthetic dataset (`data/datasets.SyntheticT2I`), and
-verifies three things quantitatively via projections onto the planted
-per-word patterns ``P_w``:
+verifies quantitatively via projections onto the planted per-word
+patterns ``P_w``:
 
 1. **conditioning** — generations from context (w1, w2) carry P_{w1} and
    P_{w2} but not the other vocabulary patterns;
@@ -14,7 +14,13 @@ per-word patterns ``P_w``:
    token moves P_{w1} content monotonically with the multiplier while
    leaving P_{w2} (the untouched word) comparatively stable;
 3. **local-prompt rewrite** — swapping w1's embedding for w3's moves the
-   generation from P_{w1} to P_{w3}.
+   generation from P_{w1} to P_{w3};
+4. **classifier-free guidance** (when the config trains with context
+   dropout, ``dataset.cfg=True``) — the guidance sweep s ∈ {0, 1, 3} via
+   ``evals.sampling.cfg_velocity_fn``: s=0 (unconditional) erases the
+   caption's margin, s≥1 restores/amplifies it — the working-CFG
+   requirement of BASELINE config #3 (the reference's own CFGDataset
+   raises NotImplementedError).
 
 Outputs ``editing_e2e_t2i.{json,md}`` + sweep grids into ``--workdir``.
 
@@ -167,7 +173,42 @@ def run(config, workdir: str) -> dict:
     report["checks"]["local_prompt"] = lp
     grids.append(lat_new)
 
-    passed = cond_ok and p2p_ok and lp_ok
+    # -- check 4: classifier-free guidance (cfg-trained models only) ---------
+    cfg_ok = True
+    if dcfg.get("cfg", False):
+        from ..evals.sampling import cfg_velocity_fn
+        from ..core import flow as flow_mod
+
+        ctx_row = helper.context_of(a, b)
+        ctx_full = jnp.broadcast_to(jnp.asarray(ctx_row)[None],
+                                    (n, num_tokens, ctx_dim))
+        null_ctx = jnp.zeros_like(ctx_full)
+        cfg_rows = []
+        for s in (0.0, 1.0, 3.0):
+            vf = cfg_velocity_fn(session.model, session.params,
+                                 {"context": ctx_full},
+                                 {"context": null_ctx}, s)
+            lat = np.asarray(flow_mod.decode(vf, z, session.solver_kwargs),
+                             np.float32)
+            proj = _projections(lat, P)
+            absent_ids = [w for w in range(vocab) if w not in (a, b)]
+            cfg_rows.append({
+                "guidance": s,
+                "present_mean": float(proj[:, [a, b]].mean()),
+                "absent_mean": float(proj[:, absent_ids].mean()),
+            })
+            grids.append(lat)
+        margins = [r["present_mean"] - r["absent_mean"] for r in cfg_rows]
+        # s=0 is unconditional (no caption information), s=1 the plain
+        # conditional model, s>1 amplified guidance
+        cfg_ok = bool(abs(margins[0]) < 0.5 * margins[1]
+                      and margins[2] >= 0.95 * margins[1]
+                      and margins[1] > 0)
+        report["checks"]["cfg_guidance"] = {"rows": cfg_rows,
+                                            "margins": margins,
+                                            "passed": cfg_ok}
+
+    passed = cond_ok and p2p_ok and lp_ok and cfg_ok
     report["passed"] = bool(passed)
     report["n_per_setting"] = n
 
@@ -200,8 +241,16 @@ def run(config, workdir: str) -> dict:
               f"{lp['new_word_after']:.2f}; "
               f"word {b}: {lp['kept_word_before']:.2f} → "
               f"{lp['kept_word_after']:.2f} — "
-              f"**{'PASS' if lp_ok else 'FAIL'}**", "",
-              f"**overall: {'PASS' if passed else 'FAIL'}**", ""]
+              f"**{'PASS' if lp_ok else 'FAIL'}**", ""]
+    if "cfg_guidance" in report["checks"]:
+        cg = report["checks"]["cfg_guidance"]
+        lines += ["## 4. classifier-free guidance sweep", "",
+                  "| guidance | present | absent | margin |", "|---|---|---|---|"]
+        for r, m in zip(cg["rows"], cg["margins"]):
+            lines.append(f"| {r['guidance']:g} | {r['present_mean']:.2f} "
+                         f"| {r['absent_mean']:.2f} | {m:.2f} |")
+        lines += ["", f"**{'PASS' if cg['passed'] else 'FAIL'}**", ""]
+    lines += [f"**overall: {'PASS' if passed else 'FAIL'}**", ""]
     with open(os.path.join(workdir, "editing_e2e_t2i.md"), "w") as f:
         f.write("\n".join(lines))
     logging.info("editing_e2e_t2i: %s (report in %s)",

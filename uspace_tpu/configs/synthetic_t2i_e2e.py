@@ -35,7 +35,8 @@ def get_config():
     # the CFM loss (at 8x8x4/amp 1.5 it is ~2-3% and a small model simply
     # ignores the context; see docs/editing_e2e_t2i.md)
     config.dataset = d(name="synthetic_t2i", num=4096, shape=(4, 4, 8),
-                       vocab=6, num_tokens=8, ctx_dim=32, amp=5.0)
+                       vocab=6, num_tokens=8, ctx_dim=32, amp=5.0,
+                       cfg=True, p_uncond=0.15)
     config.dl.num_workers = 4
     config.sample.sample_steps = 50
     config.sample.n_samples = 16

@@ -560,7 +560,7 @@ class SyntheticT2I(DatasetFactory):
 
     def __init__(self, num=4096, shape=(8, 8, 8), vocab=6, num_tokens=8,
                  ctx_dim=32, base_std=0.35, amp=3.0, noise_std=0.05,
-                 ctx_scale=4.0, **_):
+                 ctx_scale=4.0, cfg=False, p_uncond=None, **_):
         self.train = SyntheticT2IFeatures(num, shape, vocab, num_tokens,
                                           ctx_dim, base_std, amp, noise_std,
                                           ctx_scale)
@@ -569,6 +569,10 @@ class SyntheticT2I(DatasetFactory):
                                          noise_std, ctx_scale, seed=10_000)
         # null conditioning for CFG (the loop broadcasts this)
         self.empty_context = np.zeros((num_tokens, ctx_dim), np.float32)
+        if cfg:  # uncond-context dropout for classifier-free guidance
+            assert p_uncond is not None
+            self.train = CFGDataset(self.train, p_uncond,
+                                    empty_context=self.empty_context)
 
     @property
     def data_shape(self):
