@@ -385,6 +385,52 @@ class SyntheticT2IFeatures(Dataset):
                 "words": np.asarray([w1, w2], np.int32)}
 
 
+class SyntheticClassFeatures(Dataset):
+    """Class-structured synthetic moments for the class-conditional
+    end-to-end proof (stands in for ImageNet latents+labels): the latent
+    carries the class's orthonormal pattern,
+
+        x = base_std * g(idx) + amp * P_{y(idx)},
+
+    stored as VAE-style moments (see SyntheticAttrFeatures for the
+    moments/scale convention)."""
+
+    SCALE = 0.18215
+
+    def __init__(self, num: int = 4096, shape=(4, 4, 8), num_classes: int = 6,
+                 base_std: float = 0.35, amp: float = 5.0,
+                 noise_std: float = 0.05, seed: int = 0):
+        assert shape[-1] % 2 == 0
+        self.num = num
+        self.shape = tuple(shape)
+        self.latent_shape = (*self.shape[:-1], self.shape[-1] // 2)
+        self.num_classes = num_classes
+        self.base_std = base_std
+        self.amp = amp
+        self.noise_std = noise_std
+        self.seed = seed
+        self._pat = SyntheticAttrFeatures.patterns(self.latent_shape,
+                                                   num_classes)
+
+    def label_of(self, idx: int) -> int:
+        rng = np.random.default_rng((self.seed, 1, idx))
+        return int(rng.integers(0, self.num_classes))
+
+    def latent_of(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng((self.seed, 0, idx))
+        g = rng.normal(size=self.latent_shape).astype(np.float32)
+        return self.base_std * g + self.amp * self._pat[self.label_of(idx)]
+
+    def __len__(self):
+        return self.num
+
+    def __getitem__(self, idx):
+        mean = self.latent_of(idx) / self.SCALE
+        logvar = np.full_like(mean, 2.0 * np.log(self.noise_std / self.SCALE))
+        return {"x": np.concatenate([mean, logvar], axis=-1),
+                "y": np.int32(self.label_of(idx))}
+
+
 # ---------------------------------------------------------------------------
 # Factories (reference DatasetFactory surface, datasets.py:63-107)
 # ---------------------------------------------------------------------------
@@ -579,6 +625,34 @@ class SyntheticT2I(DatasetFactory):
         return self.train.latent_shape
 
 
+class SyntheticClass(DatasetFactory):
+    """Class-structured synthetic latents (see SyntheticClassFeatures).
+    CFG follows the ImageNet convention: labels 0..K-1 are real, class K
+    is the learned null (model needs num_classes=K+1)."""
+
+    has_label = True
+
+    def __init__(self, num=4096, shape=(4, 4, 8), num_classes=6,
+                 base_std=0.35, amp=5.0, noise_std=0.05, cfg=False,
+                 p_uncond=None, **_):
+        self.K = num_classes
+        self.null_label = None
+        self.train = SyntheticClassFeatures(num, shape, num_classes,
+                                            base_std, amp, noise_std)
+        self.test = SyntheticClassFeatures(max(num // 8, 1), shape,
+                                           num_classes, base_std, amp,
+                                           noise_std, seed=10_000)
+        if cfg:
+            assert p_uncond is not None
+            self.null_label = self.K
+            self.train = CFGDataset(self.train, p_uncond,
+                                    null_label=self.null_label)
+
+    @property
+    def data_shape(self):
+        return self.test.latent_shape
+
+
 class RawImages(DatasetFactory):
     """Raw image folders (reference real_img / ffhq256 / celeba entries;
     lfm_dataset adapters). Mostly used by extraction, but exposed through
@@ -632,6 +706,7 @@ _REGISTRY = {
     "synthetic": Synthetic,
     "synthetic_attr": SyntheticAttr,
     "synthetic_t2i": SyntheticT2I,
+    "synthetic_class": SyntheticClass,
     "real_img": RawImages,
     "ffhq256": RawImages,
     "celeba": RawImages,

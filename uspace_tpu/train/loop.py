@@ -229,7 +229,14 @@ class Experiment:
             else:
                 null["context"] = jnp.zeros_like(cond["context"])
         if cond.get("y") is not None and self.dataset.K:
-            null["y"] = jnp.full_like(cond["y"], self.dataset.K - 1)
+            # the learned null label is class K (labels 0..K-1 are real,
+            # model num_classes=K+1 — ImageNet256Features cfg wiring);
+            # K-1 here would guide against a REAL class
+            null_label = getattr(self.dataset, "null_label", None)
+            null["y"] = jnp.full_like(
+                cond["y"],
+                self.dataset.K if null_label is None else null_label,
+            )
         return null
 
     def eval_cond(self, rng, n: int) -> Dict[str, Any]:
