@@ -13,7 +13,7 @@ from absl import logging
 
 from ..codecs.convert import load_torch_checkpoint, vae_torch_to_flax
 from ..codecs.vae import AutoencoderKL
-from ..configs.common import nnet_kwargs, z_shape_hwc
+from ..configs.common import context_shape, nnet_kwargs, z_shape_hwc
 from ..editing.drivers import DissectSession
 from ..models import get_nnet
 
@@ -59,8 +59,8 @@ def build_session(config) -> Tuple[DissectSession, object]:
     )
     x = jnp.zeros((1, *z_hwc), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)
-    if config.nnet.name == "uvit_t2i":
-        ctx = jnp.zeros((1, config.nnet.num_clip_token, config.nnet.clip_dim))
+    if config.nnet.name in ("uvit_t2i", "unet_t2i"):
+        ctx = jnp.zeros((1, *context_shape(config)))
         init_args = (x, t, ctx)
     elif config.nnet.get("num_classes", -1) > 0:
         init_args = (x, t, jnp.zeros((1,), jnp.int32))

@@ -109,6 +109,22 @@ def config_placeholder_str():
     return ml_collections.config_dict.placeholder(str)
 
 
+def context_shape(config):
+    """[tokens, dim] of the conditioning context for t2i-mode inits.
+
+    U-ViT-T2I declares num_clip_token/clip_dim; the SD-UNet family only
+    declares context_dim (token count is free), so fall back to the
+    dataset's num_tokens (synthetic) or the CLIP default 77."""
+    nnet = config.nnet
+    tokens = nnet.get("num_clip_token", None)
+    if tokens is None:
+        dataset = config.get("dataset", None)
+        tokens = (dataset.get("num_tokens", None) if dataset is not None
+                  else None) or 77
+    dim = nnet.get("clip_dim", None) or nnet.get("context_dim", None) or 768
+    return int(tokens), int(dim)
+
+
 def uvit_nnet(embed_dim=512, depth=16, num_heads=8, **kw):
     cfg = d(
         name="uvit", img_size=32, patch_size=2, in_chans=4,

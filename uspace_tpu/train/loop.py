@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from absl import logging
 
-from ..configs.common import nnet_kwargs, z_shape_hwc
+from ..configs.common import context_shape, nnet_kwargs, z_shape_hwc
 from ..data.datasets import get_dataset
 from ..data.loader import DataLoader
 from ..models import get_nnet
@@ -128,10 +128,7 @@ class Experiment:
         t = jnp.zeros((1,), jnp.float32)
         mode = self.config.train.mode
         if mode == "t2i":
-            ctx = jnp.zeros(
-                (1, self.config.nnet.num_clip_token, self.config.nnet.clip_dim),
-                jnp.float32,
-            )
+            ctx = jnp.zeros((1, *context_shape(self.config)), jnp.float32)
             return (x, t, ctx)
         if mode == "cond" or self.config.nnet.get("num_classes", -1) > 0:
             return (x, t, jnp.zeros((1,), jnp.int32))
