@@ -42,6 +42,16 @@ def test_synthetic_attr_dataset_structure():
         assert on.mean() - off.mean() > 1.0
 
 
+def test_synthetic_attr_raw_mode():
+    from uspace_tpu.data.datasets import get_dataset
+
+    ds = get_dataset(name="synthetic_attr", num=16, shape=(8, 8, 8),
+                     raw=True)
+    s = ds.train[2]
+    assert s["x"].shape == (8, 8, 4)  # the latent itself, not moments
+    np.testing.assert_array_equal(s["x"], ds.train.latent_of(2))
+
+
 def _e2e_config():
     from uspace_tpu.configs.synthetic_attr_e2e import get_config
 
@@ -72,17 +82,20 @@ def _e2e_config():
     return cfg
 
 
-@pytest.mark.slow
-def test_trained_model_editing_end_to_end(tmp_path):
+def _run_e2e(cfg, tmp_path):
     from uspace_tpu.cli.editing_e2e import run
     from uspace_tpu.train.loop import train
 
-    cfg = _e2e_config()
     train_wd = str(tmp_path / "train")
     train(cfg, train_wd)
-
     cfg.dissection.ckpt_path_to_dissect = train_wd + "/ckpts"
-    report = run(cfg, str(tmp_path / "e2e"))
+    return run(cfg, str(tmp_path / "e2e"))
+
+
+@pytest.mark.slow
+def test_trained_model_editing_end_to_end(tmp_path):
+    cfg = _e2e_config()
+    report = _run_e2e(cfg, tmp_path)
 
     # the trained model must respond to the edit on every attribute:
     # monotone across the oriented scale sweep, effect >= 1 batch-std,
@@ -97,3 +110,19 @@ def test_trained_model_editing_end_to_end(tmp_path):
     assert report["roundtrip"]["rel_mean"] < 0.5
     assert (tmp_path / "e2e" / "write_attr0_sweep.png").exists()
     assert (tmp_path / "e2e" / "directions_pca.npz").exists()
+
+
+@pytest.mark.slow
+def test_trained_model_editing_pixel_space(tmp_path):
+    """Same proof through the pixel-space (train_ffmm, from_moments=False)
+    data path: raw latents fed directly, no moments resampling."""
+    cfg = _e2e_config()
+    cfg.train.from_moments = False
+    cfg.train.grad_clip = 1.0
+    cfg.dataset.raw = True
+    report = _run_e2e(cfg, tmp_path)
+    for rec in report["attrs"]:
+        assert rec["effect_size"] >= 0.5, rec
+        assert rec["monotone_fraction"] >= 0.9, rec
+        assert rec["gt_agrees"], rec
+    assert report["passed"]

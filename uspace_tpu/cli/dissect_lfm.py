@@ -68,8 +68,10 @@ def run(config, workdir: str) -> None:
                             d.mini_batch_size, shuffle=False,
                             num_workers=config.dl.num_workers)
         edit_loc = d.get("edit_loc") or "mid"
-        out = session.read(iter(loader), tap=edit_loc,
-                           max_samples=d.n_samples, rng=rng)
+        out = session.read(
+            iter(loader), tap=edit_loc, max_samples=d.n_samples, rng=rng,
+            from_moments=config.train.get("from_moments", True),
+        )
         path = _read_path(config)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         np.savez(path, **out)
@@ -154,12 +156,13 @@ def run(config, workdir: str) -> None:
                             shuffle=False, num_workers=config.dl.num_workers)
         batch = next(iter(loader))
         x = jnp.asarray(batch["x"])
-        if session.vae_sample is not None:
-            x = session.vae_sample(x, rng)
-        else:
-            from ..train.step import sample_from_moments
+        if config.train.get("from_moments", True):  # pixel-space: x is data
+            if session.vae_sample is not None:
+                x = session.vae_sample(x, rng)
+            else:
+                from ..train.step import sample_from_moments
 
-            x = sample_from_moments(x, rng)
+                x = sample_from_moments(x, rng)
         errs = session.roundtrip_error(x)
         line = (f"solver={dict(d.solver_kwargs)} "
                 f"abs_mean={errs['abs_mean']:.6f} rel_mean={errs['rel_mean']:.6f}")

@@ -102,8 +102,10 @@ def run(config, workdir: str) -> dict:
         dataset = get_dataset(**dict(config.dataset))
         loader = DataLoader(dataset.get_split("train"), d.mini_batch_size,
                             shuffle=False, num_workers=config.dl.num_workers)
-        out = session.read(iter(loader), tap=edit_loc,
-                           max_samples=d.n_samples, rng=rng)
+        out = session.read(
+            iter(loader), tap=edit_loc, max_samples=d.n_samples, rng=rng,
+            from_moments=config.train.get("from_moments", True),
+        )
         np.savez(read_path, **out)
         logging.info("read: feats %s -> %s", out["feats"].shape, read_path)
     data = np.load(read_path)

@@ -257,9 +257,12 @@ class SyntheticAttrFeatures(Dataset):
 
     def __init__(self, num: int = 4096, shape=(8, 8, 8), num_attrs: int = 4,
                  base_std: float = 0.4, amp: float = 1.5,
-                 noise_std: float = 0.05, seed: int = 0):
+                 noise_std: float = 0.05, raw: bool = False, seed: int = 0):
+        # raw=True: emit the latent itself instead of VAE-style moments —
+        # the pixel-space (train_ffmm, from_moments=False) data path
         assert shape[-1] % 2 == 0, "moments shape needs mean‖logvar channels"
         self.num = num
+        self.raw = raw
         self.shape = tuple(shape)
         self.latent_shape = (*self.shape[:-1], self.shape[-1] // 2)
         self.num_attrs = num_attrs
@@ -292,6 +295,8 @@ class SyntheticAttrFeatures(Dataset):
         return self.num
 
     def __getitem__(self, idx):
+        if self.raw:
+            return {"x": self.latent_of(idx), "attr": self.attr_of(idx)}
         mean = self.latent_of(idx) / self.SCALE
         logvar = np.full_like(mean, 2.0 * np.log(self.noise_std / self.SCALE))
         return {"x": np.concatenate([mean, logvar], axis=-1),
@@ -589,11 +594,11 @@ class SyntheticAttr(DatasetFactory):
     """Attribute-structured synthetic latents (see SyntheticAttrFeatures)."""
 
     def __init__(self, num=4096, shape=(8, 8, 8), num_attrs=4,
-                 base_std=0.4, amp=1.5, noise_std=0.05, **_):
+                 base_std=0.4, amp=1.5, noise_std=0.05, raw=False, **_):
         self.train = SyntheticAttrFeatures(num, shape, num_attrs, base_std,
-                                           amp, noise_std)
+                                           amp, noise_std, raw)
         self.test = SyntheticAttrFeatures(max(num // 8, 1), shape, num_attrs,
-                                          base_std, amp, noise_std,
+                                          base_std, amp, noise_std, raw,
                                           seed=10_000)
 
     @property
