@@ -197,3 +197,25 @@ class TestQuantModelView:
         pq = UViT(**kw, quant=True).init(rng, x, t)
         assert jax.tree_util.tree_structure(p) == \
             jax.tree_util.tree_structure(pq)
+
+    def test_uvit_lnmlp_hybrid_view(self, rng):
+        """The LN-fused hybrid sampling view ("pallas_lnmlp": LN1 inside
+        the int8 qkvproj kernel, LN2 inside the int8 MLP kernel) shares
+        the exact param tree with the normal view and matches it within
+        quantization noise — it is the default int8 view on TPU."""
+        from uspace_tpu.models import UViT
+
+        kw = dict(img_size=16, patch_size=2, in_chans=4, embed_dim=64,
+                  depth=4, num_heads=4)
+        m = UViT(**kw)
+        mh = UViT(**kw, quant=True, attn_impl="pallas_lnmlp")
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        t = jnp.full((2,), 0.4)
+        params = m.init(rng, x, t)
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(mh.init(rng, x, t))
+        ref, _ = m.apply(params, x, t)
+        out, _ = mh.apply(params, x, t)
+        assert _cosine(out, ref) > 0.99
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.1

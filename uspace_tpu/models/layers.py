@@ -223,7 +223,8 @@ class Attention(nn.Module):
         d = c // h
         scale = self.qk_scale or d**-0.5
 
-        use_fused = self.attn_impl in ("pallas_packed", "pallas_qkvproj") \
+        use_fused = self.attn_impl in ("pallas_packed", "pallas_qkvproj",
+                                       "pallas_lnmlp") \
             or (self.attn_impl == "auto" and _packed_ok())
         if use_fused and attn_edit is None and not capture_probs:
             from ..ops.attention import (
@@ -338,11 +339,42 @@ class Block(nn.Module):
         # in one Pallas program. Opt-in only ("pallas_block"): measured
         # SLOWER than the qkvproj kernel end-to-end (14.25 vs 15.40
         # img/s) — mega-fusion defeats XLA's cross-block pipelining.
+        # hybrid sampling path ("pallas_lnmlp", int8 view): LN1 folds
+        # into the qkvproj kernel, LN2 into the MLP kernel — neither
+        # normalized activation round-trips through HBM, while the
+        # attention and MLP programs stay separate so XLA keeps its
+        # cross-block pipelining (the whole-sub-block kernels lose it)
+        use_lnfused = (
+            self.quant
+            and (self.attn_impl == "pallas_lnmlp"
+                 or (self.attn_impl == "auto" and _packed_ok()))
+            and attn_edit is None and not capture_probs and not self.qkv_bias
+        )
+        probs = None
+        if use_lnfused:
+            from ..ops.attention import fused_ln_qkvproj_attention
+            from ..ops.mlp import fused_mlp_block_q
+
+            ln1_s, ln1_b = _LNParams(name="norm1")(c)
+            wqkv, wproj, bproj = _AttnParams(name="attn")(c)
+            d = c // self.num_heads
+            a = fused_ln_qkvproj_attention(
+                x.astype(self.dtype), ln1_s, ln1_b,
+                wqkv.astype(self.dtype), self.num_heads,
+                scale=self.qk_scale or d**-0.5, eps=LN_EPS)
+            from ..ops.quant import int8_dense
+
+            x = x + int8_dense(a, wproj, bproj, out_dtype=x.dtype)
+            ln2_s, ln2_b = _LNParams(name="norm2")(c)
+            w1, b1, w2, b2 = _MlpParams(
+                int(c * self.mlp_ratio), name="mlp")(c)
+            return fused_mlp_block_q(x, ln2_s, ln2_b, w1, b1, w2, b2,
+                                     eps=LN_EPS)
+
         use_block_fused = (
             attn_edit is None and not capture_probs and not self.qkv_bias
             and self.attn_impl == "pallas_block"
         )
-        probs = None
         if use_block_fused:
             from ..ops.attention import fused_attention_block
 
@@ -367,10 +399,23 @@ class Block(nn.Module):
             else:
                 a = attn(h, t=t, attn_edit=attn_edit, block_id=block_id)
             x = x + a
-        x = x + Mlp(hidden_dim=int(c * self.mlp_ratio), dtype=self.dtype,
-                    quant=self.quant, name="mlp")(
-            nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
-        )
+        if self.quant and self.attn_impl == "pallas_lnmlp":
+            # hybrid: separate qkvproj attention kernel (keeps XLA's
+            # cross-block pipelining) + LN-fused int8 MLP sub-block (the
+            # LN output and hidden tensor never touch HBM)
+            from ..ops.mlp import fused_mlp_block_q
+
+            ln2_s, ln2_b = _LNParams(name="norm2")(c)
+            w1, b1, w2, b2 = _MlpParams(
+                int(c * self.mlp_ratio), name="mlp")(c)
+            x = fused_mlp_block_q(x, ln2_s, ln2_b, w1, b1, w2, b2,
+                                  eps=LN_EPS)
+        else:
+            x = x + Mlp(hidden_dim=int(c * self.mlp_ratio), dtype=self.dtype,
+                        quant=self.quant, name="mlp")(
+                nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                             name="norm2")(x)
+            )
         if capture_probs:
             return x, probs
         return x

@@ -456,6 +456,108 @@ def _qkv_attn_kernel_q(x_ref, wq_ref, ws_ref, o_ref, wq_vmem, qkv_buf, sem,
         o_ref[0, :, i * d:(i + 1) * d] = o.astype(o_ref.dtype)
 
 
+def _qkv_attn_kernel_qln(x_ref, lns_ref, lnb_ref, wq_ref, ws_ref, o_ref,
+                         wq_vmem, qkv_buf, sem, *, scale, seq_len,
+                         num_heads, head_dim, eps):
+    """LN-prologue variant of :func:`_qkv_attn_kernel_q`: computes
+    ``LN(x)`` in-kernel (f32 statistics) before row-quantizing, so the
+    normalized activations never round-trip through HBM (saves one full
+    [B, L, C] read+write per block vs a separate XLA LayerNorm, which
+    cannot fuse into a pallas_call)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load_weights():
+        cp = pltpu.make_async_copy(wq_ref, wq_vmem, sem)
+        cp.start()
+        cp.wait()
+
+    x = x_ref[0]  # [Lp, C]
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    mu = jnp.sum(xf, axis=-1, keepdims=True) / c
+    var = jnp.sum(jnp.square(xf), axis=-1, keepdims=True) / c - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps)
+    xf = ((xf - mu) * inv * lns_ref[0:1, :].astype(jnp.float32)
+          + lnb_ref[0:1, :].astype(jnp.float32))
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
+    xq = jnp.round(xf * (127.0 / amax)).astype(jnp.int8)
+    for j in range(3):
+        acc = jax.lax.dot_general(
+            xq, wq_vmem[:, j * c:(j + 1) * c], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        deq = acc.astype(jnp.float32) * (amax * (1.0 / 127.0)) \
+            * ws_ref[0:1, j * c:(j + 1) * c]
+        qkv_buf[:, j * c:(j + 1) * c] = deq.astype(qkv_buf.dtype)
+    h, d = num_heads, head_dim
+    lp = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    key_mask = col < seq_len
+    for i in range(h):
+        q = qkv_buf[:, i * d:(i + 1) * d]
+        k = qkv_buf[:, (h + i) * d:(h + i + 1) * d]
+        v = qkv_buf[:, (2 * h + i) * d:(2 * h + i + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(key_mask, s, _MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        o_ref[0, :, i * d:(i + 1) * d] = o.astype(o_ref.dtype)
+
+
+def fused_ln_qkvproj_attention(
+    x: Array, ln_scale: Array, ln_bias: Array, w_qkv: Array,
+    num_heads: int, scale: Optional[float] = None, eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """``attention(qkv(LN(x)))`` with the int8 QKV projection — the
+    LN output never touches HBM (inference-only int8 path)."""
+    from .quant import quantize_colwise
+
+    b, l, c = x.shape
+    d = c // num_heads
+    if scale is None:
+        scale = float(d) ** -0.5
+    if interpret is None:
+        interpret = not _on_tpu()
+    wq, ws = quantize_colwise(w_qkv)
+    lp = _pad_rows(l)
+    xp = x if lp == l else jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    if interpret or not _HAS_PLTPU:
+        vmem, anyspace = None, None
+    else:
+        vmem, anyspace = pltpu.VMEM, pltpu.ANY
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_qkv_attn_kernel_qln, scale=scale, seq_len=l,
+                          num_heads=num_heads, head_dim=d, eps=eps),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0), memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),      # ln scale [1, C]
+            pl.BlockSpec(memory_space=vmem),      # ln bias [1, C]
+            pl.BlockSpec(memory_space=anyspace),  # wq int8 stays in HBM
+            pl.BlockSpec(memory_space=vmem),      # ws [1, 3C] f32
+        ],
+        out_specs=pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((b, lp, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, 3 * c), jnp.int8),
+            pltpu.VMEM((lp, 3 * c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, row(ln_scale), row(ln_bias), wq, row(ws))
+    return out[:, :l]
+
+
 def _qkv_attn_call_q(x, wq, ws, num_heads, scale, interpret):
     b, l, c = x.shape
     h = num_heads
