@@ -344,10 +344,12 @@ class Block(nn.Module):
         # normalized activation round-trips through HBM, while the
         # attention and MLP programs stay separate so XLA keeps its
         # cross-block pipelining (the whole-sub-block kernels lose it)
+        # "pallas_lnmlp" is inference-only (the LN-fused kernels define
+        # no VJP): automatic for the int8 view on TPU; explicit opt-in
+        # for the bf16 view (the one adaptive solvers use)
         use_lnfused = (
-            self.quant
-            and (self.attn_impl == "pallas_lnmlp"
-                 or (self.attn_impl == "auto" and _packed_ok()))
+            (self.attn_impl == "pallas_lnmlp"
+             or (self.quant and self.attn_impl == "auto" and _packed_ok()))
             and attn_edit is None and not capture_probs and not self.qkv_bias
         )
         probs = None
@@ -361,15 +363,29 @@ class Block(nn.Module):
             a = fused_ln_qkvproj_attention(
                 x.astype(self.dtype), ln1_s, ln1_b,
                 wqkv.astype(self.dtype), self.num_heads,
-                scale=self.qk_scale or d**-0.5, eps=LN_EPS)
-            from ..ops.quant import int8_dense
+                scale=self.qk_scale or d**-0.5, eps=LN_EPS,
+                quant=self.quant)
+            if self.quant:
+                from ..ops.quant import int8_dense
 
-            x = x + int8_dense(a, wproj, bproj, out_dtype=x.dtype)
-            ln2_s, ln2_b = _LNParams(name="norm2")(c)
-            w1, b1, w2, b2 = _MlpParams(
-                int(c * self.mlp_ratio), name="mlp")(c)
-            return fused_mlp_block_q(x, ln2_s, ln2_b, w1, b1, w2, b2,
-                                     eps=LN_EPS)
+                x = x + int8_dense(a, wproj, bproj, out_dtype=x.dtype)
+                ln2_s, ln2_b = _LNParams(name="norm2")(c)
+                w1, b1, w2, b2 = _MlpParams(
+                    int(c * self.mlp_ratio), name="mlp")(c)
+                return fused_mlp_block_q(x, ln2_s, ln2_b, w1, b1, w2, b2,
+                                         eps=LN_EPS)
+            # bf16: only LN1 needs folding (it feeds a pallas kernel and
+            # cannot fuse); LN2 feeds the XLA MLP, which XLA fuses fine.
+            # The bf16 LN-fused MLP kernel would need 16MB of bf16
+            # weights in VMEM — over the scoped limit at the bench shape.
+            x = x + (a @ wproj.astype(self.dtype)
+                     + bproj.astype(self.dtype)).astype(x.dtype)
+            x = x + Mlp(hidden_dim=int(c * self.mlp_ratio),
+                        dtype=self.dtype, quant=False, name="mlp")(
+                nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                             name="norm2")(x)
+            )
+            return x
 
         use_block_fused = (
             attn_edit is None and not capture_probs and not self.qkv_bias

@@ -511,22 +511,65 @@ def _qkv_attn_kernel_qln(x_ref, lns_ref, lnb_ref, wq_ref, ws_ref, o_ref,
         o_ref[0, :, i * d:(i + 1) * d] = o.astype(o_ref.dtype)
 
 
+def _qkv_attn_kernel_ln(x_ref, lns_ref, lnb_ref, w_ref, o_ref, w_vmem,
+                        sem, *, scale, seq_len, num_heads, head_dim, eps):
+    """bf16 twin of :func:`_qkv_attn_kernel_qln`: LN prologue (f32
+    statistics) + bf16 QKV projection + attention, one program."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load_weights():
+        cp = pltpu.make_async_copy(w_ref, w_vmem, sem)
+        cp.start()
+        cp.wait()
+
+    x = x_ref[0]  # [Lp, C]
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    mu = jnp.sum(xf, axis=-1, keepdims=True) / c
+    var = jnp.sum(jnp.square(xf), axis=-1, keepdims=True) / c - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps)
+    xln = ((xf - mu) * inv * lns_ref[0:1, :].astype(jnp.float32)
+           + lnb_ref[0:1, :].astype(jnp.float32)).astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        xln, w_vmem[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # [Lp, 3C]
+    h, d = num_heads, head_dim
+    lp = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    key_mask = col < seq_len
+    for i in range(h):
+        q = qkv[:, i * d:(i + 1) * d]
+        k = qkv[:, (h + i) * d:(h + i + 1) * d]
+        v = qkv[:, (2 * h + i) * d:(2 * h + i + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(key_mask, s, _MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        o_ref[0, :, i * d:(i + 1) * d] = o.astype(o_ref.dtype)
+
+
 def fused_ln_qkvproj_attention(
     x: Array, ln_scale: Array, ln_bias: Array, w_qkv: Array,
     num_heads: int, scale: Optional[float] = None, eps: float = 1e-5,
-    interpret: Optional[bool] = None,
+    interpret: Optional[bool] = None, quant: bool = True,
 ) -> Array:
-    """``attention(qkv(LN(x)))`` with the int8 QKV projection — the
-    LN output never touches HBM (inference-only int8 path)."""
-    from .quant import quantize_colwise
-
+    """``attention(qkv(LN(x)))`` — the LN output never touches HBM.
+    ``quant=True``: int8 QKV projection; ``quant=False``: bf16
+    projection. Inference-only (no VJP)."""
     b, l, c = x.shape
     d = c // num_heads
     if scale is None:
         scale = float(d) ** -0.5
     if interpret is None:
         interpret = not _on_tpu()
-    wq, ws = quantize_colwise(w_qkv)
     lp = _pad_rows(l)
     xp = x if lp == l else jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
     if interpret or not _HAS_PLTPU:
@@ -534,27 +577,53 @@ def fused_ln_qkvproj_attention(
     else:
         vmem, anyspace = pltpu.VMEM, pltpu.ANY
     row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    if quant:
+        from .quant import quantize_colwise
+
+        wq, ws = quantize_colwise(w_qkv)
+        out = pl.pallas_call(
+            functools.partial(_qkv_attn_kernel_qln, scale=scale, seq_len=l,
+                              num_heads=num_heads, head_dim=d, eps=eps),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0),
+                             memory_space=vmem),
+                pl.BlockSpec(memory_space=vmem),      # ln scale [1, C]
+                pl.BlockSpec(memory_space=vmem),      # ln bias [1, C]
+                pl.BlockSpec(memory_space=anyspace),  # wq int8 stays in HBM
+                pl.BlockSpec(memory_space=vmem),      # ws [1, 3C] f32
+            ],
+            out_specs=pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0),
+                                   memory_space=vmem),
+            out_shape=jax.ShapeDtypeStruct((b, lp, c), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((c, 3 * c), jnp.int8),
+                pltpu.VMEM((lp, 3 * c), x.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(xp, row(ln_scale), row(ln_bias), wq, row(ws))
+        return out[:, :l]
+    w = w_qkv.astype(x.dtype)
     out = pl.pallas_call(
-        functools.partial(_qkv_attn_kernel_qln, scale=scale, seq_len=l,
+        functools.partial(_qkv_attn_kernel_ln, scale=scale, seq_len=l,
                           num_heads=num_heads, head_dim=d, eps=eps),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0), memory_space=vmem),
             pl.BlockSpec(memory_space=vmem),      # ln scale [1, C]
             pl.BlockSpec(memory_space=vmem),      # ln bias [1, C]
-            pl.BlockSpec(memory_space=anyspace),  # wq int8 stays in HBM
-            pl.BlockSpec(memory_space=vmem),      # ws [1, 3C] f32
+            pl.BlockSpec(memory_space=anyspace),  # w bf16 stays in HBM
         ],
         out_specs=pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0),
                                memory_space=vmem),
         out_shape=jax.ShapeDtypeStruct((b, lp, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, 3 * c), jnp.int8),
-            pltpu.VMEM((lp, 3 * c), x.dtype),
+            pltpu.VMEM((c, 3 * c), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(xp, row(ln_scale), row(ln_bias), wq, row(ws))
+    )(xp, row(ln_scale), row(ln_bias), w)
     return out[:, :l]
 
 

@@ -100,6 +100,48 @@ def _mlp_kernel_bf16(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     o_ref[:] = (acc + b2_ref[0:1, :]).astype(o_ref.dtype)
 
 
+def _mlp_kernel_bf16_lnres(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
+                           w2_ref, b2_ref, o_ref, w1_v, w2_v, h_v, sem,
+                           *, hidden: int, eps: float):
+    """Whole MLP sub-block, bf16: ``x + fc2(gelu(fc1(LN(x))))`` — the
+    bf16 twin of :func:`_mlp_kernel_int8_lnres` (LN output and hidden
+    tensor never touch HBM). Inference-only."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
+        cp.start()
+        cp.wait()
+        cp2 = pltpu.make_async_copy(w2_ref, w2_v, sem)
+        cp2.start()
+        cp2.wait()
+
+    x = x_ref[:]
+    c = x.shape[-1]
+    # f32 statistics, bf16 normalize (keeps the VMEM stack under the
+    # scoped limit — a full f32 copy of the tile pushes it 2MB over)
+    mu = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True) / c
+    var = (jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                   keepdims=True) / c) - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    xln = ((x - mu.astype(x.dtype)) * inv
+           * lns_ref[0:1, :].astype(x.dtype)
+           + lnb_ref[0:1, :].astype(x.dtype))
+    hs = hidden // _COL_SLICES
+    for j in range(_COL_SLICES):
+        part = jax.lax.dot_general(
+            xln.astype(x.dtype), w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[0:1, j * hs:(j + 1) * hs]
+        h_v[:, j * hs:(j + 1) * hs] = _gelu_exact(part).astype(h_v.dtype)
+    acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
+    for j in range(_COL_SLICES):
+        acc += jax.lax.dot_general(
+            h_v[:, j * hs:(j + 1) * hs], w2_v[j * hs:(j + 1) * hs, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    o_ref[:] = x + (acc + b2_ref[0:1, :]).astype(o_ref.dtype)
+
+
 def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                      o_ref, w1_v, w2_v, h_v, sem, *, hidden: int):
     """int8 variant: weights arrive pre-quantized (int8 + per-column f32
@@ -199,9 +241,11 @@ def fused_mlp_block_q(
     x: Array, ln_scale: Array, ln_bias: Array,
     w1: Array, b1: Array, w2: Array, b2: Array,
     eps: float = 1e-5, interpret: Optional[bool] = None,
+    quant: bool = True,
 ) -> Array:
     """``x + fc2(gelu(fc1(LN(x))))`` — the complete pre-norm MLP
-    sub-block with int8 projections (inference-only)."""
+    sub-block (inference-only). ``quant=True``: int8 projections;
+    ``quant=False``: bf16 projections (the view adaptive solvers use)."""
     from .quant import quantize_colwise
 
     if interpret is None:
@@ -211,15 +255,24 @@ def fused_mlp_block_q(
     hidden = w1.shape[-1]
     x2d = x.reshape(-1, c)
     row = lambda a: a.reshape(1, -1).astype(jnp.float32)
-    w1q, s1 = quantize_colwise(w1)
-    w2q, s2 = quantize_colwise(w2)
-    out = _call_mlp(
-        x2d,
-        (row(ln_scale), row(ln_bias), w1q, row(s1), row(b1),
-         w2q, row(s2), row(b2)),
-        functools.partial(_mlp_kernel_int8_lnres, eps=eps),
-        hidden, c, interpret, weights_hbm_idx={2, 5},
-    )
+    if quant:
+        w1q, s1 = quantize_colwise(w1)
+        w2q, s2 = quantize_colwise(w2)
+        out = _call_mlp(
+            x2d,
+            (row(ln_scale), row(ln_bias), w1q, row(s1), row(b1),
+             w2q, row(s2), row(b2)),
+            functools.partial(_mlp_kernel_int8_lnres, eps=eps),
+            hidden, c, interpret, weights_hbm_idx={2, 5},
+        )
+    else:
+        out = _call_mlp(
+            x2d,
+            (row(ln_scale), row(ln_bias), w1.astype(x.dtype), row(b1),
+             w2.astype(x.dtype), row(b2)),
+            functools.partial(_mlp_kernel_bf16_lnres, eps=eps),
+            hidden, c, interpret, weights_hbm_idx={2, 4},
+        )
     return out.reshape(*lead, c)
 
 
