@@ -18,6 +18,19 @@ from ..editing.drivers import DissectSession
 from ..models import get_nnet
 
 
+def decode_images(vae_decode, latents, mini_batch: int) -> np.ndarray:
+    """Latents -> [0,1] images: chunked VAE decode when weights exist,
+    min-max normalized raw channels otherwise (shared by the dissect and
+    e2e CLIs)."""
+    if vae_decode is None:
+        arr = np.asarray(latents)[..., :3]
+        return (arr - arr.min()) / max(arr.max() - arr.min(), 1e-8)
+    outs = []
+    for i in range(0, len(latents), mini_batch):
+        outs.append(np.asarray(vae_decode(latents[i:i + mini_batch])))
+    return np.clip((np.concatenate(outs) + 1) / 2, 0, 1)
+
+
 def load_nnet_params(config, model, init_args) -> dict:
     """Load denoiser weights from dissection.ckpt_path_to_dissect: an
     orbax checkpoint dir (this framework; uses EMA params) or a reference

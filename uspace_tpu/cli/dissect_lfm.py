@@ -54,13 +54,22 @@ def run(config, workdir: str) -> None:
     from ..editing.directions import select_direction
     from ..editing.drivers import build_directions_npz
     from ..utils.vis import make_grid, save_image
-    from .dissect_common import build_session
+    from .dissect_common import build_session, decode_images
 
     d = config.dissection
     name = d.get("dissect_name")
     session, vae_decode = build_session(config)
     rng = jax.random.PRNGKey(config.seed)
     os.makedirs(workdir, exist_ok=True)
+
+    def _cond(n):
+        """Class-conditional models need labels in the write/roundtrip
+        modes too (read takes them from the batch): dissection.class_label
+        picks the class (default 0)."""
+        if config.nnet.get("num_classes", -1) > 0:
+            y = int(d.get("class_label", 0) or 0)
+            return {"y": jnp.full((n,), y, jnp.int32)}
+        return None
 
     if name == "read":
         dataset = get_dataset(**dict(config.dataset))
@@ -112,7 +121,8 @@ def run(config, workdir: str) -> None:
             n = min(d.n_samples, d.mini_batch_size)
             z = (fixed_z[:n] if fixed_z is not None
                  else jax.random.normal(rng, (n, *z_hwc)))
-            outs = [session.decode(z + float(s) * delta[None])
+            outs = [session.decode(z + float(s) * delta[None],
+                                   cond=_cond(n))
                     for s in d.write_scales]
             sweep = jnp.stack(outs)
         else:
@@ -134,17 +144,11 @@ def run(config, workdir: str) -> None:
                 gate_period=(float(d.t_edit.replace("every_", ""))
                              if is_every else 0.1),
                 fixed_z=fixed_z, rng=rng, z_shape=z_hwc,
+                cond=_cond(n),
             )
         s, b = sweep.shape[:2]
         flat = sweep.reshape(s * b, *sweep.shape[2:])
-        if vae_decode:
-            imgs = []
-            for i in range(0, s * b, d.mini_batch_size):
-                imgs.append(np.asarray(vae_decode(flat[i:i + d.mini_batch_size])))
-            imgs = np.clip((np.concatenate(imgs) + 1) / 2, 0, 1)
-        else:
-            arr = np.asarray(flat)[..., :3]
-            imgs = (arr - arr.min()) / max(arr.max() - arr.min(), 1e-8)
+        imgs = decode_images(vae_decode, flat, d.mini_batch_size)
         out_png = os.path.join(workdir, f"{name}_sweep.png")
         save_image(make_grid(imgs, nrow=b), out_png)
         logging.info("write sweep (%d scales x %d samples) -> %s", s, b, out_png)
@@ -163,7 +167,7 @@ def run(config, workdir: str) -> None:
                 from ..train.step import sample_from_moments
 
                 x = sample_from_moments(x, rng)
-        errs = session.roundtrip_error(x)
+        errs = session.roundtrip_error(x, cond=_cond(x.shape[0]))
         line = (f"solver={dict(d.solver_kwargs)} "
                 f"abs_mean={errs['abs_mean']:.6f} rel_mean={errs['rel_mean']:.6f}")
         logging.info("roundtrip: %s", line)

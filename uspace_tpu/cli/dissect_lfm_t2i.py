@@ -53,14 +53,20 @@ def get_clip(config):
     return FrozenCLIPEmbedder(params, tokenizer), tokenizer
 
 
-def _decode_images(vae_decode, latents, mini_batch: int) -> np.ndarray:
-    if vae_decode is None:
-        arr = np.asarray(latents)[..., :3]
-        return (arr - arr.min()) / max(arr.max() - arr.min(), 1e-8)
-    outs = []
-    for i in range(0, len(latents), mini_batch):
-        outs.append(np.asarray(vae_decode(latents[i:i + mini_batch])))
-    return np.clip((np.concatenate(outs) + 1) / 2, 0, 1)
+from .dissect_common import decode_images as _decode_images
+
+
+def _joint_attn_seq_len(config) -> int:
+    """Token count of the joint-attention layout — U-ViT-T2I only; the
+    SD-UNet family conditions via cross-attention and has no single
+    [time, ctx, patches] axis for p2p column rescale / attention maps."""
+    if config.nnet.name != "uvit_t2i":
+        raise NotImplementedError(
+            f"{config.dissection.dissect_name}: joint-attention token "
+            f"editing applies to uvit_t2i (got nnet.name="
+            f"{config.nnet.name!r})")
+    return 1 + config.nnet.num_clip_token + (
+        config.nnet.img_size // config.nnet.patch_size) ** 2
 
 
 def real_image_editing(config, session, vae_decode, workdir: str,
@@ -99,8 +105,6 @@ def real_image_editing(config, session, vae_decode, workdir: str,
     # exact inversion with the ORIGINAL context (no editing during encode)
     z = session.encode(x, {"context": ctx})
 
-    seq_len = 1 + config.nnet.num_clip_token + (
-        config.nnet.img_size // config.nnet.patch_size) ** 2
     if name == "local_prompt":
         if clip is None:
             raise RuntimeError("local_prompt needs CLIP weights "
@@ -112,6 +116,7 @@ def real_image_editing(config, session, vae_decode, workdir: str,
         out_caps = new_caps
         attn_edit = None
     elif name == "p2p":
+        seq_len = _joint_attn_seq_len(config)
         phrase = tk.get("p2p_to_multiply") or ""
         if tokenizer is None and not phrase.startswith("ids:"):
             raise RuntimeError(
@@ -171,17 +176,20 @@ def sampled_image_editing(config, session, vae_decode, workdir: str,
     else:
         z = jax.random.normal(rng, (n, *z_hwc))
 
-    seq_len = 1 + config.nnet.num_clip_token + (
-        config.nnet.img_size // config.nnet.patch_size) ** 2
     phrase = tk.get("p2p_to_multiply") or ""
+    seq_len = _joint_attn_seq_len(config) if phrase else None
     multipliers = tk.get("p2p_multiplier", 1.9)
     if not isinstance(multipliers, (list, tuple)):
         multipliers = [multipliers]
 
     rows = []
     for mult in multipliers:
-        if (phrase and float(mult) != 1.0
-                and (tokenizer is not None or phrase.startswith("ids:"))):
+        if phrase and float(mult) != 1.0:
+            if tokenizer is None and not phrase.startswith("ids:"):
+                raise RuntimeError(
+                    "sampled_image_editing p2p needs a CLIP tokenizer for "
+                    "phrase->token-id mapping (or explicit indices as "
+                    "p2p_to_multiply='ids:1,4')")
             ids = phrase_target_ids(captions, phrase, tokenizer)
             edit = build_p2p_edit(n, seq_len, ids, float(mult),
                                   t_edit=float(d.t_edit))
@@ -198,7 +206,7 @@ def sampled_image_editing(config, session, vae_decode, workdir: str,
                  len(multipliers), n, out)
 
 
-def vis_attention(config, session, workdir: str) -> None:
+def vis_attention(config, session, workdir: str, tokenizer=None) -> None:
     """Per-token cross-attention heatmaps at chosen timesteps/blocks
     (reference vis_attention_map, utils_t2i.py:141-193 — the reference
     renders these mid-ODE; here one forward per requested timestep with
@@ -207,6 +215,7 @@ def vis_attention(config, session, workdir: str) -> None:
     from ..editing.attention_edit import save_attention_maps, slice_context_attention
     from ..train.step import make_velocity_fn, sample_from_moments
 
+    _joint_attn_seq_len(config)  # attention capture is joint-attention only
     d = config.dissection
     dataset = get_dataset(**dict(config.dataset))
     split = "test" if getattr(dataset, "test", None) is not None else "train"
@@ -219,23 +228,21 @@ def vis_attention(config, session, workdir: str) -> None:
     if session.vae_sample is not None:
         x = session.vae_sample(x, rng)
     else:
-        from ..train.step import sample_from_moments as sfm
-
-        x = sfm(x, rng)
+        x = sample_from_moments(x, rng)
     block_id = d.token_kwargs.get("target_block_id", -1)
     blocks = (int(block_id),) if block_id not in (-1, None) else (0,)
     n_img = (config.nnet.img_size // config.nnet.patch_size) ** 2
+    vf = make_velocity_fn(
+        session.model, session.params, {"context": ctx},
+        capture_attn=blocks,
+    )
     for t in (0.1, 0.5, 0.9):
-        vf = make_velocity_fn(
-            session.model, session.params, {"context": ctx},
-            capture_attn=blocks,
-        )
         _, taps = vf(jnp.full((x.shape[0],), t), x)
         for b in blocks:
             ctx_attn = slice_context_attention(
                 taps[f"attn_{b}"], n_img, config.nnet.num_clip_token)
             save_attention_maps(np.asarray(ctx_attn), workdir, captions,
-                                timestep=t, block_id=b)
+                                tokenizer=tokenizer, timestep=t, block_id=b)
     logging.info("attention maps -> %s", workdir)
 
 
@@ -253,7 +260,7 @@ def run(config, workdir: str) -> None:
         sampled_image_editing(config, session, vae_decode, workdir, clip,
                               tokenizer)
     elif name == "vis_attention":
-        vis_attention(config, session, workdir)
+        vis_attention(config, session, workdir, tokenizer)
     else:
         raise NotImplementedError(f"dissect_name={name!r}")
 

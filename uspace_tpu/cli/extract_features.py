@@ -86,6 +86,11 @@ def _build_text_encoder():
 def main(argv):
     from ..codecs.convert import load_torch_checkpoint, vae_torch_to_flax
     from ..data import extraction
+
+    if FLAGS.format == "t2i" and not FLAGS.clip:
+        raise flags.ValidationError(
+            "--format=t2i encodes captions and requires --clip "
+            "(local CLIP dir with torch weights + tokenizer)")
     from ..data.raw import (
         CaptionedImageFolder,
         CelebAMaskHQ,

@@ -78,6 +78,7 @@ def base_config() -> ml_collections.ConfigDict:
         ith_component=1,
         pca_n=50,
         ith_attr=0,
+        class_label=0,  # class-cond models: label used by write/vis modes
         t_edit=1.0,
         e2e_min_effect=1.0,  # editing_e2e pass bar (batch-σ units)
         edit_loc=config_placeholder_str(),
