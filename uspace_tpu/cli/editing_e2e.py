@@ -171,12 +171,9 @@ def run(config, workdir: str) -> dict:
         results.append(rec)
 
         flat = sweep.reshape(-1, *sweep.shape[2:])
-        if vae_decode is not None:
-            img = np.asarray(vae_decode(flat))
-            img = np.clip((img + 1) / 2, 0, 1)
-        else:
-            img = (flat - flat.min()) / max(flat.max() - flat.min(), 1e-8)
-            img = img[..., :3]
+        from .dissect_common import decode_images
+
+        img = decode_images(vae_decode, flat, int(d.mini_batch_size))
         save_image(make_grid(img, nrow=n),
                    os.path.join(workdir, f"write_attr{a}_sweep.png"))
 
