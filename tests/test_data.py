@@ -134,6 +134,19 @@ class TestLoader:
         assert np.allclose(np.sort(allx.sum((1, 2, 3))),
                            np.sort(base.sum((1, 2, 3))))
 
+    def test_uneven_shards_same_batch_count(self):
+        """Multi-host desync regression: with n % process_count != 0 the
+        per-epoch batch count must come from the GLOBAL sample count, or
+        processes roll into the next epoch's permutation at different
+        times and the disjoint-shard guarantee breaks."""
+        ds = SyntheticFeatures(num=15, shape=(2, 2, 2))
+        counts = []
+        for pi in range(2):
+            dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=1,
+                            process_index=pi, process_count=2)
+            counts.append(sum(1 for _ in dl.epoch(0)))
+        assert counts[0] == counts[1] == 15 // (2 * 4)
+
     def test_infinite_cycles(self):
         ds = SyntheticFeatures(num=4, shape=(2, 2, 2))
         dl = DataLoader(ds, batch_size=2, num_workers=1)

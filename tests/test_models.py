@@ -187,6 +187,16 @@ class TestUViTT2I:
         v_off, _ = m.apply(params, x, t, ctx, attn_edit=edit_off)
         np.testing.assert_allclose(v_off, v_plain, atol=1e-6)
 
+    def test_p2p_padding_no_collision_at_time_tokens_zero(self):
+        """Regression: with time_tokens=0, target id 0 lands in column 0 —
+        the -1 padding slots must scatter out of range (mode='drop'), not
+        onto column 0 where a duplicate-index .set could overwrite the
+        real multiplier nondeterministically."""
+        ids = jnp.array([[0, -1, -1]])
+        mult = p2p_col_mult(1, 8, ids, 5.0, time_tokens=0)
+        assert float(mult[0, 0]) == 5.0
+        np.testing.assert_allclose(mult[0, 1:], 1.0)
+
     def test_p2p_block_gating(self, rng):
         m, params, x, t, ctx = self._mk(rng)
         ids = jnp.array([[1, -1, -1], [2, -1, -1]])

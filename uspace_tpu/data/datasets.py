@@ -28,12 +28,18 @@ class _EpochRng:
     loader announces the epoch via ``Dataset.set_epoch`` before
     producing (fixes the round-1 access-counter race)."""
 
-    def __init__(self, seed: int):
+    def __init__(self, seed: int, stream: int = 0):
+        # ``stream`` separates rng users that wrap each other (e.g.
+        # CFGDataset around CaptionFeatureDataset): without it both draw
+        # the FIRST sample from identically seeded generators, coupling
+        # the CFG drop to the caption index
         self.seed = seed
+        self.stream = stream
         self.epoch = 0
 
     def for_index(self, idx: int) -> np.random.Generator:
-        return np.random.default_rng((self.seed, idx, self.epoch))
+        return np.random.default_rng((self.seed, self.stream, idx,
+                                      self.epoch))
 
 Array = np.ndarray
 
@@ -191,7 +197,7 @@ class CFGDataset(Dataset):
         self.p_uncond = p_uncond
         self.empty_context = empty_context
         self.null_label = null_label
-        self._rng = _EpochRng(seed)
+        self._rng = _EpochRng(seed, stream=1)
 
     def set_epoch(self, epoch: int) -> None:
         self._rng.epoch = epoch
@@ -480,6 +486,10 @@ class CM256Features(DatasetFactory):
 
     def __init__(self, path, cfg=False, p_uncond=None, num=30_000,
                  conditional=False):
+        if cfg:
+            raise NotImplementedError(
+                "CFG dropout is not defined for this dataset (no null "
+                "conditioning); the cfg flag would be silently ignored")
         fmt = "cond" if conditional else "pair"
         self.train = NpyFeatureDataset(path, num=num, fmt=fmt)
 
@@ -495,6 +505,10 @@ class H5Features(DatasetFactory):
 
     def __init__(self, path, cfg=False, p_uncond=None, num=None,
                  load_in_mem=True, fid_stat=None):
+        if cfg:
+            raise NotImplementedError(
+                "CFG dropout is not defined for this dataset (no null "
+                "conditioning); the cfg flag would be silently ignored")
         self.train = H5FeatureDataset(path, load_in_mem=load_in_mem, num=num)
         if fid_stat:
             self.fid_stat = fid_stat
@@ -663,11 +677,13 @@ class RawImages(DatasetFactory):
     lfm_dataset adapters). Mostly used by extraction, but exposed through
     the registry for pixel-space (ffmm) training."""
 
-    def __init__(self, path, resolution=256, attr_file=None, **_):
+    def __init__(self, path, resolution=256, attr_file=None,
+                 mapping_file=None, **_):
         from .raw import CelebAMaskHQ, ImageFolder
 
         if attr_file:
-            self.train = _ImagesAsX(CelebAMaskHQ(path, resolution, attr_file))
+            self.train = _ImagesAsX(CelebAMaskHQ(path, resolution, attr_file,
+                                                 mapping_file=mapping_file))
         else:
             self.train = _ImagesAsX(ImageFolder(path, resolution))
         self.resolution = resolution

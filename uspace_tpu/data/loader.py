@@ -72,11 +72,21 @@ class DataLoader:
             idx = np.random.default_rng(self.seed + epoch).permutation(n)
         # contiguous per-process shard of the shuffled order
         shard = idx[self.process_index::self.process_count]
-        n_batches = (
-            len(shard) // self.batch_size
-            if self.drop_last
-            else -(-len(shard) // self.batch_size)
-        )
+        # n_batches must be derived from the GLOBAL count, not the local
+        # shard: with n % process_count != 0 shard lengths differ by one,
+        # and a per-shard count would let processes roll into the next
+        # epoch (and its new permutation) at different times, breaking
+        # the disjoint-shard guarantee across hosts
+        if self.drop_last:
+            n_batches = n // (self.process_count * self.batch_size)
+        else:
+            longest = -(-n // self.process_count)
+            n_batches = -(-longest // self.batch_size)
+            if len(shard) < longest:  # shorter shards wrap (like
+                # torch's DistributedSampler) so every process emits the
+                # same batch count
+                pad = longest - len(shard)
+                shard = np.concatenate([shard, shard[:pad]])
         return shard, n_batches
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:

@@ -109,11 +109,29 @@ class CelebAMaskHQ(Dataset):
                         # idx orig_idx orig_file
                         mapping[int(parts[0])] = parts[-1]
             self.attrs = []
+            misses = 0
             for fpath in self.files:
                 stem = os.path.splitext(os.path.basename(fpath))[0]
                 orig = mapping.get(int(stem), f"{stem}.jpg") \
                     if stem.isdigit() else f"{stem}.jpg"
-                self.attrs.append(by_name.get(orig, np.zeros(40, np.int64)))
+                row = by_name.get(orig)
+                if row is None:
+                    misses += 1
+                    row = np.zeros(40, np.int64)
+                self.attrs.append(row)
+            if misses == len(self.files):
+                # HQ stems ('0'..'29999') vs original zero-padded CelebA
+                # names ('000001.jpg'): without the HQ->orig mapping file
+                # every lookup misses and directions degrade to zeros
+                raise ValueError(
+                    f"no attr rows matched any of {len(self.files)} images "
+                    f"in {attr_file}; pass mapping_file "
+                    "(CelebA-HQ-to-CelebA-mapping.txt)")
+            if misses:
+                import warnings
+
+                warnings.warn(f"{misses}/{len(self.files)} images have no "
+                              "attr row (zeros substituted)")
 
     def __len__(self):
         return len(self.files)

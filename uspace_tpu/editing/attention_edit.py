@@ -94,9 +94,7 @@ def slice_context_attention(
     return ctx_k.mean(axis=1)
 
 
-def attention_heatmaps(
-    ctx_attn: Array, tokens_per_image: Optional[int] = None
-) -> Array:
+def attention_heatmaps(ctx_attn: Array) -> Array:
     """[B, img, ctx] -> [B, ctx, h, h] spatial heatmaps (img tokens are a
     square grid), normalized per map to [0, 1]."""
     b, n_img, n_ctx = ctx_attn.shape

@@ -63,7 +63,7 @@ def capture_trajectory(
     return final, stacks
 
 
-def captures_to_grid(stack: Array, ts: Array, grid_dt: float = 0.01) -> Array:
+def captures_to_grid(stack: Array, ts: Array) -> Array:
     """Reorder a [T, ...] capture stack (in integration order) onto the
     ascending-time grid i*grid_dt used by :class:`USpaceEdit` /
     direction files. Encode trajectories run t: 1 -> 0 so they arrive

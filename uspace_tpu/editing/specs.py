@@ -151,13 +151,12 @@ def p2p_col_mult(
     cols = jnp.ones((batch, seq_len), jnp.float32)
     ids = jnp.asarray(target_ids, jnp.int32)
     valid = ids >= 0
-    ids_off = jnp.where(valid, ids + time_tokens, 0)
-    # scatter multiplier into the selected columns
+    # padding (-1) maps OUT OF RANGE so mode="drop" discards it — mapping
+    # it to column 0 would collide with a real target when time_tokens=0
+    # (duplicate-index .set order is undefined in XLA)
+    ids_off = jnp.where(valid, ids + time_tokens, seq_len)
     b_idx = jnp.arange(batch)[:, None].repeat(ids.shape[1], axis=1)
-    updates = jnp.where(valid, mult[:, None], 1.0)
     cols = cols.at[b_idx.reshape(-1), ids_off.reshape(-1)].set(
-        updates.reshape(-1), mode="drop"
+        jnp.broadcast_to(mult[:, None], ids.shape).reshape(-1), mode="drop"
     )
-    # restore untouched columns where ids were padding and pointed at col
-    # time_tokens-0 erroneously: handled by ids_off=0 + update=1.0 above.
     return cols
