@@ -38,6 +38,9 @@ def hparams_from_argv(argv) -> str:
 
 
 def main(argv):
+    from ..parallel.distributed import initialize
+
+    initialize()  # multi-host JAX (no-op on a single-host launch)
     config = FLAGS.config
     config_name = os.path.splitext(
         os.path.basename(FLAGS["config"].config_filename)

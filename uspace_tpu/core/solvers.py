@@ -24,8 +24,7 @@ Velocity-field signature: ``vf(t, x) -> dx/dt`` with scalar ``t``; or
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,10 +38,6 @@ _ATOL = 1e-5
 # ---------------------------------------------------------------------------
 # Fixed-step methods (lax.scan)
 # ---------------------------------------------------------------------------
-
-
-def _euler_step(vf, t, x, dt):
-    return vf(t, x)
 
 
 def _wrap_no_aux(vf):

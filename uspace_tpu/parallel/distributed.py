@@ -24,15 +24,27 @@ def initialize(
     environment."""
     if num_processes == 1:
         return
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (ValueError, RuntimeError):
-        # already initialized, or single-process environment
-        pass
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialized
+    import os
+
+    multi_host = (coordinator_address is not None
+                  or num_processes not in (None, 1)
+                  or any(v in os.environ for v in (
+                      "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                      "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                  )))
+    if not multi_host:
+        return  # plain single-host launch: nothing to initialize
+    # a genuine multi-host environment must fail FAST on init errors
+    # (wrong coordinator, firewall): silently continuing would let every
+    # host train an independent model copy into the same workdir
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def process_allgather(x) -> np.ndarray:

@@ -42,7 +42,15 @@ def create_mesh(
         assert n % (fsdp * tp) == 0, (n, fsdp, tp)
         dp = n // (fsdp * tp)
     assert dp * fsdp * tp == n, (dp, fsdp, tp, n)
-    dev_array = np.asarray(devices).reshape(dp, fsdp, tp)
+    try:
+        # topology-aware assignment: axes map onto the physical ICI
+        # torus so fsdp/tp collectives ride neighboring links
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh((dp, fsdp, tp),
+                                                  devices=devices)
+    except Exception:  # virtual/CPU device sets without topology info
+        dev_array = np.asarray(devices).reshape(dp, fsdp, tp)
     return Mesh(dev_array, AXES)
 
 
@@ -90,21 +98,21 @@ def _spec_for(path: str, shape, mesh: Mesh) -> P:
     return P(*spec)
 
 
+def _path_str(kp) -> str:
+    """Flax key-path -> "a/b/c" (shared by the layout helpers)."""
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+
 def params_shardings(params: Any, mesh: Mesh) -> Any:
     """NamedSharding tree for a parameter pytree (TP + FSDP layout)."""
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
-    def path_str(kp):
-        return "/".join(
-            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
-        )
-
-    specs = {path_str(kp): _spec_for(path_str(kp), v.shape, mesh)
+    specs = {_path_str(kp): _spec_for(_path_str(kp), v.shape, mesh)
              for kp, v in flat}
 
     def assign(kp, v):
-        return NamedSharding(mesh, specs[path_str(kp)])
+        return NamedSharding(mesh, specs[_path_str(kp)])
 
     return jax.tree_util.tree_map_with_path(assign, params)
 
@@ -131,12 +139,9 @@ def state_shardings(state: Any, mesh: Mesh) -> Any:
 
         return jax.tree_util.tree_map_with_path(pick, subtree)
 
-    def _path_str(kp):
-        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-
     return type(state)(
         step=replicated(mesh),
         params=p_sh,
-        ema_params=jax.tree.map(lambda s: s, p_sh),
+        ema_params=p_sh,
         opt_state=like_params(state.opt_state),
     )

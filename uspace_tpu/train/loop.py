@@ -56,6 +56,10 @@ class Experiment:
 
         # dataset + loader
         self.dataset = get_dataset(**dict(config.dataset))
+        data_shards = int(np.prod(self.mesh.devices.shape[:2]))  # dp*fsdp
+        assert config.train.batch_size % data_shards == 0, (
+            f"global batch {config.train.batch_size} must divide over "
+            f"dp*fsdp={data_shards} (sharding would fail at step 1)")
         assert config.train.batch_size % jax.process_count() == 0
         self.local_batch = config.train.batch_size // jax.process_count()
         self.loader = DataLoader(
@@ -308,10 +312,16 @@ def train(config, workdir: Optional[str] = None) -> TrainState:
 
         if step % cfg.train.save_interval == 0:
             exp.ckpt.save(state, step)
-            fid = _eval_fid(exp, state, step)
+            # FID runs on the main process only (eval sampling is
+            # replicated work; writing from every host would duplicate
+            # metrics.jsonl records)
+            fid = _eval_fid(exp, state, step) if is_main else None
             if fid is not None:
                 fid_by_step[step] = fid
                 metrics_w.write(step, {"fid": fid})
+
+    if profile_dir and start_step + 10 < step < start_step + 13:
+        jax.profiler.stop_trace()  # run ended inside the trace window
 
     exp.ckpt.save(state, step, wait=True)
     # best-FID checkpoint selection + final full-size eval on it
@@ -323,9 +333,9 @@ def train(config, workdir: Optional[str] = None) -> TrainState:
             with open(os.path.join(exp.workdir, "best_ckpt.txt"), "w") as f:
                 f.write(f"{best} {fid_by_step[best]}\n")
         best_state = exp.ckpt.restore(state, best)
-        final_fid = _eval_fid(exp, best_state, best,
-                              n_samples=cfg.sample.n_samples,
-                              tag="final")
+        final_fid = (_eval_fid(exp, best_state, best,
+                               n_samples=cfg.sample.n_samples,
+                               tag="final") if is_main else None)
         if final_fid is not None:
             logging.info("final FID (%d samples) %.4f",
                          cfg.sample.n_samples, final_fid)
