@@ -278,7 +278,7 @@ class TestPackedAttention:
         params = ref_model.init(rng, x)
         ref = ref_model.apply(params, x, t=jnp.float32(0.1), attn_edit=edit)
         for impl in ("pallas_packed", "pallas_qkvproj", "pallas_block",
-                     "int8", "auto"):
+                     "pallas_lnmlp", "int8", "auto"):
             out = Attention(num_heads=4, attn_impl=impl).apply(
                 params, x, t=jnp.float32(0.1), attn_edit=edit)
             np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)

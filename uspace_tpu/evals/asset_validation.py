@@ -194,9 +194,7 @@ def validate_uvit(path: str, tol: float = 2e-3) -> Dict[str, Any]:
     import importlib
 
     libs = importlib.import_module("libs.uvit")
-    ref_kw = dict(kw)
-    ref_kw["conv"] = ref_kw.pop("conv")
-    model_t = libs.UViT(**{**ref_kw, "num_classes": kw["num_classes"]}).eval()
+    model_t = libs.UViT(**kw).eval()
     missing, unexpected = model_t.load_state_dict(
         {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
         strict=False)
@@ -221,7 +219,7 @@ def validate_unet(path: str, tol: float = 5e-3) -> Dict[str, Any]:
     import torch
 
     from ..codecs.convert import load_torch_checkpoint, unet_torch_to_flax
-    from ..models.unet import UNetModel
+    from ..models.unet import UNet
 
     sd = load_torch_checkpoint(path)
     prefix = "model.diffusion_model."
@@ -237,7 +235,7 @@ def validate_unet(path: str, tol: float = 5e-3) -> Dict[str, Any]:
         num_heads=8, use_spatial_transformer=True, transformer_depth=1,
         context_dim=ctx,
     )
-    model = UNetModel(**kw)
+    model = UNet(**kw)
     params = {"params": unet_torch_to_flax(stripped)}
     rng = np.random.default_rng(0)
     x = rng.normal(size=(1, 32, 32, 4)).astype(np.float32)

@@ -169,7 +169,11 @@ class InceptionV3(nn.Module):
     def __call__(self, x: Array) -> Array:
         if self.resize_input:
             b = x.shape[0]
-            x = jax.image.resize(x, (b, 299, 299, 3), method="bilinear")
+            # antialias=False matches pytorch-fid's F.interpolate(bilinear)
+            # exactly; the default antialias=True diverges on DOWNSCALES
+            # (inputs larger than 299px), making FID non-comparable
+            x = jax.image.resize(x, (b, 299, 299, 3), method="bilinear",
+                                 antialias=False)
         if self.normalize_input:
             x = 2.0 * x - 1.0
         x = BasicConv2d(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)

@@ -38,8 +38,14 @@ def cfg_velocity_fn(model, params, cond: Dict, null_cond: Dict,
         merged = {}
         for k in set(cond) | set(null_cond):
             a, b = cond.get(k), null_cond.get(k)
-            if a is None or b is None:
+            if a is None and b is None:
                 merged[k] = None
+            elif a is None or b is None:
+                # a key present in only one dict would silently turn the
+                # guidance into a no-op (both halves unconditional)
+                raise ValueError(
+                    f"cfg_velocity_fn: conditioning key {k!r} present in "
+                    "only one of cond/null_cond")
             else:
                 merged[k] = jnp.concatenate([a, b], axis=0)
         v2 = make_velocity_fn(model, params, merged, **apply_kwargs)(t2, x2)

@@ -21,10 +21,9 @@ from ..ops.attention import multi_head_attention
 def _packed_ok() -> bool:
     """auto mode: use the packed Pallas kernel on real TPU only (the
     interpreter is too slow for CPU tests; XLA is faster there)."""
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from ..ops.attention import _on_tpu
+
+    return _on_tpu()
 
 Array = jax.Array
 

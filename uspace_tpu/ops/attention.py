@@ -1120,7 +1120,8 @@ def multi_head_attention(
     # no-edit fast path in models/layers.py can use; when an edited or
     # prob-capture call falls through to this [B,H,L,D] front-end, they
     # degrade to the closest applicable choice instead of erroring.
-    if impl in ("pallas_packed", "pallas_qkvproj", "pallas_block", "int8"):
+    if impl in ("pallas_packed", "pallas_qkvproj", "pallas_block",
+                "pallas_lnmlp", "int8"):
         impl = "auto"
     if impl == "auto":
         if q.shape[2] <= _XLA_PREFERRED_MAX_LEN or not _on_tpu():
