@@ -41,7 +41,6 @@ def _nest(flat: Dict[Tuple[str, ...], np.ndarray]) -> Dict[str, Any]:
     return tree
 
 
-_NORM_HINTS = ("norm", "ln_", "layernorm", "gn")
 
 
 def _leaf(torch_key: str, arr: np.ndarray, is_embedding: bool = False
@@ -224,9 +223,16 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
         sd = sd["state_dict"]
     out = {}
     for k, v in sd.items():
-        for pref in ("model.diffusion_model.", "module."):
-            if k.startswith(pref):
-                k = k[len(pref):]
+        # strip repeatedly: DDP-saved LDM checkpoints are keyed
+        # "module.model.diffusion_model.*" — a single ordered pass would
+        # only remove "module." and leave every mapped key wrong
+        stripped = True
+        while stripped:
+            stripped = False
+            for pref in ("model.diffusion_model.", "module."):
+                if k.startswith(pref):
+                    k = k[len(pref):]
+                    stripped = True
         out[k] = v
     return out
 

@@ -42,17 +42,6 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
-class GroupNorm(nn.Module):
-    num_groups: int = 32
-    eps: float = 1e-6
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
-                            dtype=self.dtype, name="gn")(x)
-
-
 class ResnetBlock(nn.Module):
     out_channels: Optional[int] = None
     dtype: Any = jnp.float32

@@ -181,7 +181,8 @@ class CaptionFeatureDataset(Dataset):
         if self.output_caption:
             with open(os.path.join(self.root, f"{idx}_{k}_captions.txt")) as f:
                 caps = [l.strip() for l in f.readlines() if l.strip()]
-            out["caption"] = caps[k] if k < len(caps) else caps[0]
+            out["caption"] = (caps[k] if k < len(caps)
+                              else (caps[0] if caps else ""))
         return out
 
 

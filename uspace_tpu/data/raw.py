@@ -32,7 +32,7 @@ def list_images(root: str, recursive: bool = True) -> List[str]:
 
 
 def load_image(path: str, resolution: Optional[int] = None,
-               center_crop: bool = True) -> np.ndarray:
+               center_crop: bool = True, resample=None) -> np.ndarray:
     """[H, W, 3] float32 in [-1, 1]."""
     from PIL import Image
 
@@ -43,7 +43,8 @@ def load_image(path: str, resolution: Optional[int] = None,
             s = min(w, h)
             img = img.crop(((w - s) // 2, (h - s) // 2,
                             (w + s) // 2, (h + s) // 2))
-        img = img.resize((resolution, resolution), Image.BICUBIC)
+        img = img.resize((resolution, resolution),
+                         resample or Image.BICUBIC)
     arr = np.asarray(img, np.float32) / 127.5 - 1.0
     return arr
 
@@ -98,6 +99,10 @@ class CelebAMaskHQ(Dataset):
         self.files = list_images(img_dir, recursive=False)
         self.resolution = resolution
         self.attrs = None
+        if attr_file and not os.path.exists(attr_file):
+            raise FileNotFoundError(
+                f"attr_file {attr_file!r} does not exist (a silent "
+                "fallback would train without attributes)")
         if attr_file and os.path.exists(attr_file):
             by_name = parse_celeba_attrs(attr_file)
             mapping = {}
@@ -291,9 +296,8 @@ class FFHQAttr11(Dataset):
         # reference resizes bilinear without cropping (ffhq_from1024.py:86)
         from PIL import Image
 
-        img = Image.open(self.files[idx]).convert("RGB")
-        img = img.resize((self.resolution, self.resolution), Image.BILINEAR)
-        arr = np.asarray(img, np.float32) / 127.5 - 1.0
+        arr = load_image(self.files[idx], self.resolution,
+                         center_crop=False, resample=Image.BILINEAR)
         return {"image": arr, "attr": self.attrs[idx]}
 
 
