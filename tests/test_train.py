@@ -150,3 +150,28 @@ class TestShardedSampling:
         out = sample(params, z)
         assert out.shape == (16, 8, 8, 4)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestDistributedInit:
+    def test_single_host_noop(self, monkeypatch):
+        """initialize() must be safe to call unconditionally from the
+        train CLI: on a plain single-host launch (no coordinator env) it
+        does nothing, and num_processes=1 short-circuits."""
+        from uspace_tpu.parallel.distributed import initialize
+
+        for var in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                    "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
+            monkeypatch.delenv(var, raising=False)
+        initialize()  # no coordinator anywhere: returns without init
+        initialize(num_processes=1)
+
+    def test_context_shape_fallbacks(self):
+        from uspace_tpu.configs.common import base_config, context_shape, d
+
+        cfg = base_config()
+        cfg.nnet = d(name="uvit_t2i", num_clip_token=9, clip_dim=24)
+        assert context_shape(cfg) == (9, 24)
+        cfg.nnet = d(name="unet_t2i", context_dim=32)
+        assert context_shape(cfg) == (77, 32)  # no dataset block: CLIP 77
+        cfg.dataset = d(name="synthetic_t2i", num_tokens=6)
+        assert context_shape(cfg) == (6, 32)
