@@ -239,10 +239,15 @@ class Attention(nn.Module):
                 # would, so checkpoints interop. With quant=True the
                 # projection runs int8 on the MXU (2x rate), softmax and
                 # accumulation stay f32.
+                # pass the f32 kernel: the quant branch fits int8 scales
+                # on full-precision weights (matching Int8Dense — casting
+                # to bf16 first discards mantissa ahead of scale fitting);
+                # the bf16 branch casts inside the kernel call
                 kernel = _DenseKernel(3 * c, name="qkv")(c)
+                if not self.quant:
+                    kernel = kernel.astype(self.dtype)
                 out = fused_qkvproj_attention(
-                    x, kernel.astype(self.dtype), h, scale,
-                    quant=self.quant)
+                    x, kernel, h, scale, quant=self.quant)
             else:
                 # XLA projection + transpose-free attention kernel — the
                 # fastest *training* path (backward does not recompute
@@ -359,9 +364,12 @@ class Block(nn.Module):
             ln1_s, ln1_b = _LNParams(name="norm1")(c)
             wqkv, wproj, bproj = _AttnParams(name="attn")(c)
             d = c // self.num_heads
+            # f32 kernel into the quant branch (int8 scales fit on full
+            # precision, as Int8Dense does); bf16 cast only otherwise
             a = fused_ln_qkvproj_attention(
                 x.astype(self.dtype), ln1_s, ln1_b,
-                wqkv.astype(self.dtype), self.num_heads,
+                wqkv if self.quant else wqkv.astype(self.dtype),
+                self.num_heads,
                 scale=self.qk_scale or d**-0.5, eps=LN_EPS,
                 quant=self.quant)
             if self.quant:
