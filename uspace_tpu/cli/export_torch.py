@@ -4,8 +4,8 @@
         --ckpt=workdir/.../ckpts --out=nnet_ema.pth [--use_ema=true]
 
 The resulting ``.pth`` loads into the PyTorch reference's U-ViT /
-U-ViT-T2I with ``strict=True`` (verified by round-trip parity tests) —
-the "switch back" path for users moving between stacks.
+U-ViT-T2I / SD-UNet with ``strict=True`` (verified by round-trip parity
+tests) — the "switch back" path for users moving between stacks.
 """
 
 from __future__ import annotations
@@ -29,15 +29,19 @@ flags.mark_flags_as_required(["config", "ckpt", "out"])
 
 
 def main(argv):
-    from ..codecs.convert import save_torch_state_dict, uvit_flax_to_torch
+    from ..codecs.convert import (
+        save_torch_state_dict,
+        unet_flax_to_torch,
+        uvit_flax_to_torch,
+    )
     from ..train.checkpoint import CheckpointManager
 
     config = FLAGS.config
-    if config.nnet.name == "unet_t2i":
-        raise NotImplementedError("UNet export not wired yet; U-ViT only")
     # structure-free restore: no need to reconstruct the train optimizer
     src = CheckpointManager(FLAGS.ckpt).restore_params(ema=FLAGS.use_ema)
-    sd = uvit_flax_to_torch(src)
+    to_torch = (unet_flax_to_torch if config.nnet.name == "unet_t2i"
+                else uvit_flax_to_torch)
+    sd = to_torch(src)
     save_torch_state_dict(sd, FLAGS.out)
     logging.info("exported %d tensors -> %s", len(sd), FLAGS.out)
 

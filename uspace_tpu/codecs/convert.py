@@ -55,6 +55,8 @@ def _leaf(torch_key: str, arr: np.ndarray, is_embedding: bool = False
         return "embedding", arr
     if arr.ndim == 4:
         return "kernel", arr.transpose(2, 3, 1, 0)
+    if arr.ndim == 3:  # Conv1d [O, I, k] -> [k, I, O] (legacy UNet attention)
+        return "kernel", arr.transpose(2, 1, 0)
     if arr.ndim == 2:
         return "kernel", arr.T
     # 1-D weight: norm scale
@@ -338,6 +340,85 @@ def uvit_flax_to_torch(params: Dict[str, Any]) -> Dict[str, Any]:
             out[f"{base}.bias"] = arr
         else:  # bare params (pos_embed)
             out[".".join(parts + [leaf])] = arr
+    return out
+
+
+def unet_flax_to_torch(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Export SD-UNet params to the reference's torch state-dict format
+    (inverse of :func:`unet_torch_to_flax`;
+    `/root/reference/libs/sd/openaimodel.py:464-852`) so UNet models
+    trained here load back into the PyTorch stack with ``strict=True``.
+
+    The forward map collapses torch's ``output_blocks.{i}.{j}.conv``
+    (Upsample) to ``output_blocks_{i}_up``; the torch position ``j`` is
+    reconstructed from the param tree itself — it is 2 when the block
+    also carries a SpatialTransformer/AttentionBlock (a
+    ``output_blocks_{i}_1`` sibling), else 1.
+    """
+    flat = _flatten(params.get("params", params))
+    has_attn = set()
+    for path in flat:
+        m = re.fullmatch(r"output_blocks_(\d+)_1", path[0])
+        if m:
+            has_attn.add(m.group(1))
+    out = {}
+    for path, arr in flat.items():
+        parts = list(path)
+        leaf = parts.pop()
+        top = parts[0]
+        # top-level flax module name -> torch module path
+        if top == "time_embed_fc1":
+            t_top = "time_embed.0"
+        elif top == "time_embed_fc2":
+            t_top = "time_embed.2"
+        elif top == "out_norm":
+            t_top = "out.0"
+        elif top == "out_conv":
+            t_top = "out.2"
+        else:
+            m_down = re.fullmatch(r"input_blocks_(\d+)_0_down", top)
+            m_up = re.fullmatch(r"output_blocks_(\d+)_up", top)
+            m_seq = re.fullmatch(
+                r"(input_blocks|output_blocks|middle_block)_(\d+)(?:_(\d+))?",
+                top)
+            if m_down:
+                t_top = f"input_blocks.{m_down.group(1)}.0.op"
+            elif m_up:
+                i = m_up.group(1)
+                j = 2 if i in has_attn else 1
+                t_top = f"output_blocks.{i}.{j}.conv"
+            elif m_seq:
+                t_top = f"{m_seq.group(1)}.{m_seq.group(2)}"
+                if m_seq.group(3) is not None:
+                    t_top += f".{m_seq.group(3)}"
+            else:
+                t_top = top  # label_emb etc.
+        base = ".".join([t_top] + parts[1:])
+        # interior renames (inverse of _unet_key_map)
+        base = re.sub(r"\bblocks_(\d+)\b", r"transformer_blocks.\1", base)
+        base = base.replace(".in_norm", ".in_layers.0")
+        base = base.replace(".in_conv", ".in_layers.2")
+        base = base.replace(".emb_proj", ".emb_layers.1")
+        base = base.replace(".out_norm", ".out_layers.0")
+        base = base.replace(".out_conv", ".out_layers.3")
+        base = base.replace(".skip", ".skip_connection")
+        base = base.replace(".to_out", ".to_out.0")
+        base = base.replace(".ff.geglu_proj", ".ff.net.0.proj")
+        base = base.replace(".ff.out", ".ff.net.2")
+        if leaf == "kernel":
+            if arr.ndim == 4:
+                t = arr.transpose(3, 2, 0, 1)
+            elif arr.ndim == 3:  # Conv1d: [k, I, O] -> [O, I, k]
+                t = arr.transpose(2, 1, 0)
+            else:
+                t = arr.T
+            out[f"{base}.weight"] = t
+        elif leaf in ("scale", "embedding"):
+            out[f"{base}.weight"] = arr
+        elif leaf == "bias":
+            out[f"{base}.bias"] = arr
+        else:  # bare params (none in the UNet family; kept for symmetry)
+            out[".".join([base, leaf])] = arr
     return out
 
 
