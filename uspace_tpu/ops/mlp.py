@@ -279,8 +279,6 @@ def fused_mlp_block_q(
 def _call_mlp(x2d, args, kernel, hidden, out_dim, interpret,
               weights_hbm_idx):
     rows, c = x2d.shape
-    rp = _round_up(rows, _ROW_TILE)
-    xp = x2d if rp == rows else jnp.pad(x2d, ((0, rp - rows), (0, 0)))
     vmem = pltpu.VMEM if (_HAS_PLTPU and not interpret) else None
     anyspace = pl.ANY if (_HAS_PLTPU and not interpret) else None
     in_specs = [pl.BlockSpec((_ROW_TILE, c), lambda i: (i, 0),
@@ -289,22 +287,34 @@ def _call_mlp(x2d, args, kernel, hidden, out_dim, interpret,
         in_specs.append(pl.BlockSpec(
             memory_space=anyspace if idx in weights_hbm_idx else vmem))
     wdtype = args[min(weights_hbm_idx)].dtype
-    out = pl.pallas_call(
-        functools.partial(kernel, hidden=hidden),
-        grid=(rp // _ROW_TILE,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((_ROW_TILE, out_dim), lambda i: (i, 0),
-                               memory_space=vmem),
-        out_shape=jax.ShapeDtypeStruct((rp, out_dim), x2d.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((c, hidden), wdtype),
-            pltpu.VMEM((hidden, out_dim), wdtype),
-            pltpu.VMEM((_ROW_TILE, hidden), x2d.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(xp, *args)
-    return out[:rows]
+
+    def inner(x2d, *args):
+        # local rows under shard_map (rows are independent, so any
+        # contiguous batch-axis split is valid); pad per shard
+        r = x2d.shape[0]
+        rp = _round_up(r, _ROW_TILE)
+        xp = x2d if rp == r else jnp.pad(x2d, ((0, rp - r), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(kernel, hidden=hidden),
+            grid=(rp // _ROW_TILE,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((_ROW_TILE, out_dim), lambda i: (i, 0),
+                                   memory_space=vmem),
+            out_shape=jax.ShapeDtypeStruct((rp, out_dim), x2d.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((c, hidden), wdtype),
+                pltpu.VMEM((hidden, out_dim), wdtype),
+                pltpu.VMEM((_ROW_TILE, hidden), x2d.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(xp, *args)
+        return out[:r]
+
+    from ..parallel.mesh import shard_batch_call
+
+    return shard_batch_call(inner, (True,) + (False,) * len(args),
+                            x2d, *args)
 
 
 def fused_mlp(

@@ -121,6 +121,94 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+BATCH_AXES = ("dp", "fsdp")
+
+
+def constrain(x: Array, *spec) -> Array:
+    """``with_sharding_constraint`` with a bare PartitionSpec, applied
+    only when an ambient mesh (``jax.set_mesh`` / ``use_mesh``) is
+    active, every named axis in ``spec`` exists on it, and each
+    constrained dim divides by its axis size — a no-op otherwise.
+
+    Lets model code pin activation layouts around Pallas kernels (GSPMD
+    treats pallas_call as opaque and can pick pathological transitions —
+    "involuntary full rematerialization") without threading a mesh
+    handle through the module tree.
+    """
+    try:
+        m = jax.sharding.get_abstract_mesh()
+    except Exception:  # pragma: no cover - older jax
+        return x
+    if m is None or m.empty:
+        return x
+    sizes = dict(zip(m.axis_names, m.axis_sizes))
+
+    def keep(entry, dim):
+        if entry is None:
+            return None
+        axes = entry if isinstance(entry, (tuple, list)) else (entry,)
+        total = 1
+        for a in axes:
+            if a not in sizes:
+                return None
+            total *= sizes[a]
+        if total <= 1 or dim % total != 0:
+            return None
+        return tuple(axes) if len(axes) > 1 else axes[0]
+
+    cleaned = [keep(e, d) for e, d in zip(spec, x.shape)]
+    if all(c is None for c in cleaned):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*cleaned))
+
+
+def shard_batch_call(fn, batched, *args):
+    """Run ``fn(*args)`` under ``shard_map`` over the ambient mesh's
+    batch axes (dp/fsdp), sharding dim 0 of ``args[i]`` where
+    ``batched[i]`` and replicating the rest; falls back to a direct call
+    when no ambient mesh is active, the batch axes are absent/size-1, or
+    a batched dim 0 does not divide.
+
+    This is how the Pallas sampling/training kernels scale out: GSPMD
+    treats ``pallas_call`` as an opaque custom call and, lacking a
+    partitioning rule, replicates its operands (logging "involuntary
+    full rematerialization"). Under shard_map each device runs the
+    kernel on its batch shard; weights enter replicated (one explicit
+    gather, half traffic for int8 copies) and the activation never
+    leaves its home device.
+    """
+    try:
+        m = jax.sharding.get_abstract_mesh()
+    except Exception:  # pragma: no cover - older jax
+        return fn(*args)
+    if m is None or m.empty:
+        return fn(*args)
+    sizes = dict(zip(m.axis_names, m.axis_sizes))
+    axes = tuple(a for a in BATCH_AXES if sizes.get(a, 1) > 1)
+    n = int(np.prod([sizes[a] for a in axes])) if axes else 1
+    if n <= 1:
+        return fn(*args)
+    for b, a in zip(batched, args):
+        if b and (a.ndim == 0 or a.shape[0] % n != 0):
+            return fn(*args)
+    from jax.sharding import PartitionSpec as PS
+
+    in_specs = tuple(PS(axes) if b else PS() for b in batched)
+    wrapped = jax.shard_map(fn, mesh=m, in_specs=in_specs,
+                            out_specs=PS(axes), check_vma=False)
+    return wrapped(*args)
+
+
+def use_mesh(mesh: Mesh):
+    """Context manager installing ``mesh`` as the ambient mesh so
+    :func:`constrain` (bare-PartitionSpec sharding hints inside model
+    code) activates. Wrap jit *calls* (or trace+execute) with this."""
+    ctx = getattr(jax.sharding, "use_mesh", None)
+    if ctx is None:  # pragma: no cover - older jax
+        ctx = jax.set_mesh
+    return ctx(mesh)
+
+
 def state_shardings(state: Any, mesh: Mesh) -> Any:
     """Shardings for a full TrainState: params/ema/opt-state follow the
     parameter layout (optimizer moments mirror their parameter); scalars

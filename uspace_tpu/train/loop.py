@@ -195,12 +195,26 @@ class Experiment:
 
     # --- sampling -----------------------------------------------------------
 
+    def solver_kwargs(self, sample_steps: Optional[int] = None) -> Dict:
+        """Eval-sampling solver from ``config.sample.solver_kwargs``
+        (reference eval_step decodes with its ODE defaults —
+        train_lfm.py:200; the fixed-Euler default here matches the
+        reference sample_fn's sample_steps protocol)."""
+        steps = sample_steps or self.config.sample.sample_steps
+        sk = dict(self.config.sample.get(
+            "solver_kwargs",
+            {"solver": "fixed", "solver_fix": "euler", "solver_fix_step": -1.0},
+        ))
+        if sk.get("solver", "fixed") == "fixed" and \
+                float(sk.get("solver_fix_step", -1.0) or -1.0) <= 0:
+            sk["solver_fix_step"] = 1.0 / steps
+        return sk
+
     def sample_latents(self, params, rng, n: int,
                        cond: Optional[Dict] = None,
                        sample_steps: Optional[int] = None) -> Array:
         from ..core import flow
 
-        steps = sample_steps or self.config.sample.sample_steps
         z = jax.random.normal(rng, (n, *z_shape_hwc(self.config)))
         cfg_scale = float(self.config.sample.get("cfg_scale", 0.0) or 0.0)
         cond = cond or {}
@@ -211,11 +225,7 @@ class Experiment:
                                  self.null_cond(cond), cfg_scale)
         else:
             vf = make_velocity_fn(self.model, params, cond)
-        return flow.decode(
-            vf, z,
-            {"solver": "fixed", "solver_fix": "euler",
-             "solver_fix_step": 1.0 / steps},
-        )
+        return flow.decode(vf, z, self.solver_kwargs(sample_steps))
 
     def null_cond(self, cond: Dict[str, Any]) -> Dict[str, Any]:
         """Null conditioning for CFG: the dataset's empty CLIP context
@@ -257,6 +267,13 @@ class Experiment:
 
 def train(config, workdir: Optional[str] = None) -> TrainState:
     exp = Experiment(config, workdir)
+    # ambient mesh: activates the Pallas kernels' shard_map scale-out
+    # path (parallel.mesh.shard_batch_call) for the whole run
+    with meshlib.use_mesh(exp.mesh):
+        return _train_body(exp, config)
+
+
+def _train_body(exp: "Experiment", config) -> TrainState:
     cfg = config
     set_logger("info", os.path.join(exp.workdir, "train.log"))
     is_main = jax.process_index() == 0
