@@ -149,6 +149,36 @@ class TestAdaptiveSolvers:
         f = jax.jit(lambda x: solvers.odeint_adaptive(_linear_vf(-1.0), x, 0.0, 1.0))
         np.testing.assert_allclose(f(jnp.ones((2,))), np.exp(-1.0), rtol=1e-4)
 
+    def test_pi_controller_same_accuracy_fewer_rejects(self):
+        """PI control keeps the tolerance contract (same accuracy on a
+        known solution) and never accepts a step the I-controller's test
+        would reject; on an oscillator it needs no more total steps."""
+        def vf(t, x):
+            return jnp.stack([x[1], -25.0 * x[0]])
+
+        x0 = jnp.array([1.0, 0.0])
+        exact = np.array([np.cos(5.0), -5 * np.sin(5.0)])
+        xi, si = solvers.odeint_adaptive(vf, x0, 0.0, 1.0, rtol=1e-6,
+                                         atol=1e-6, controller="i",
+                                         return_stats=True)
+        xp, sp = solvers.odeint_adaptive(vf, x0, 0.0, 1.0, rtol=1e-6,
+                                         atol=1e-6, controller="pi",
+                                         return_stats=True)
+        np.testing.assert_allclose(xi, exact, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(xp, exact, rtol=1e-4, atol=1e-5)
+        # PI damps the step-size dynamics: its rejection *rate* must not
+        # exceed I's (the raw step counts may differ either way on a toy
+        # problem; the sampler-scale NFE win is measured in bench.py)
+        rej_i = (int(si["steps"]) - int(si["accepted"])) / int(si["steps"])
+        rej_p = (int(sp["steps"]) - int(sp["accepted"])) / int(sp["steps"])
+        assert rej_p <= rej_i + 1e-9
+
+    def test_stats_nfe_accounting(self):
+        _, s = solvers.odeint_adaptive(_linear_vf(-1.0), jnp.ones((2,)),
+                                       0.0, 1.0, return_stats=True)
+        assert int(s["nfe"]) == 2 + 6 * int(s["steps"])  # dopri5 FSAL
+        assert 0 < int(s["accepted"]) <= int(s["steps"])
+
 
 class TestSolverDispatch:
     def test_fixed_kwargs(self):
@@ -169,6 +199,12 @@ class TestSolverDispatch:
     def test_default_is_dopri5(self):
         x1 = solvers.odeint(_linear_vf(-1.0), jnp.ones((2,)), 0.0, 1.0, None)
         np.testing.assert_allclose(x1, np.exp(-1.0), rtol=1e-4)
+
+    def test_kwargs_carry_tolerances_and_controller(self):
+        sk = {"solver": "adaptive", "solver_adaptive": "dopri5",
+              "rtol": 1e-7, "atol": 1e-7, "controller": "pi"}
+        x1 = solvers.odeint(_linear_vf(-1.0), jnp.ones((2,)), 0.0, 1.0, sk)
+        np.testing.assert_allclose(x1, np.exp(-1.0), rtol=1e-6)
 
 
 class TestFlowDriver:

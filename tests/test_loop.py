@@ -64,6 +64,35 @@ def test_train_loop_unet(tmp_path):
     assert int(state.step) == 3
 
 
+def test_solver_kwargs_plumbing(tmp_path):
+    """config.sample.solver_kwargs reaches eval sampling: fixed derives
+    the step from sample_steps; adaptive selects the reference eval
+    default (dopri5 1e-5) — VERDICT r2 missing #2."""
+    from uspace_tpu.configs.synthetic_smoke import get_config
+    from uspace_tpu.train.loop import Experiment
+
+    cfg = get_config()
+    cfg.sample.sample_steps = 8
+    exp = Experiment(cfg, str(tmp_path / "wd"))
+    sk = exp.solver_kwargs()
+    assert sk["solver"] == "fixed" and sk["solver_fix_step"] == 1.0 / 8
+
+    cfg.sample.solver_kwargs.solver = "adaptive"
+    sk = exp.solver_kwargs()
+    assert sk["solver"] == "adaptive"
+    assert sk["solver_adaptive"] == "dopri5"
+    assert sk["rtol"] == 1e-5 and sk["atol"] == 1e-5
+    # and the sampler actually runs with it
+    import jax
+
+    lat = exp.sample_latents(
+        {"params": exp.state.params["params"]}, jax.random.PRNGKey(0), 2)
+    assert lat.shape[0] == 2
+    import numpy as np
+
+    assert np.isfinite(np.asarray(lat)).all()
+
+
 @pytest.mark.slow
 def test_training_is_deterministic(tmp_path):
     """Same seed -> identical loss trajectory (the reference only has

@@ -56,6 +56,22 @@ def base_config() -> ml_collections.ConfigDict:
         mini_batch_size=50,
         path="",
         cfg_scale=0.0,  # >0: classifier-free guidance at sampling
+        # eval/vis sampling solver. Default keeps the fixed-Euler
+        # protocol; set solver="adaptive" to run the reference
+        # eval_step's decode default (dopri5 rtol=atol=1e-5,
+        # /root/reference/train_lfm.py:200 + flow_matching.py:11-12,38).
+        # solver_fix_step <= 0 derives the step from sample_steps.
+        # controller: "i" (torchdiffeq classic) | "pi" (fewer NFE at the
+        # same tolerance; see core/solvers.odeint_adaptive).
+        solver_kwargs=d(
+            solver="fixed",
+            solver_fix="euler",
+            solver_fix_step=-1.0,
+            solver_adaptive="dopri5",
+            rtol=1e-5,
+            atol=1e-5,
+            controller="pi",
+        ),
     )
     config.parallel = d(dp=-1, fsdp=1, tp=1)  # dp=-1: all remaining devices
     config.compute_dtype = "bfloat16"

@@ -209,13 +209,30 @@ def odeint_adaptive(
     safety: float = 0.9,
     ifactor: float = 10.0,
     dfactor: float = 0.2,
+    controller: str = "i",
+    pcoeff: float = 0.4,
+    icoeff: float = 0.7,
+    return_stats: bool = False,
 ):
-    """Adaptive embedded-RK integration with PI-free (classic) step control.
+    """Adaptive embedded-RK integration, entirely on-device via
+    ``lax.while_loop`` with a static ``max_steps`` cap.
 
-    Matches torchdiffeq's accept/adapt rule: accept when the scaled RMS error
-    ratio <= 1; next step = h * clip(safety * ratio^(-1/order), dfactor,
-    ifactor). Entirely on-device via ``lax.while_loop`` with a static
-    ``max_steps`` cap (loop exits early once t reaches t1).
+    ``controller="i"`` matches torchdiffeq's classic integral rule:
+    accept when the scaled RMS error ratio <= 1; next step =
+    h * clip(safety * ratio^(-1/order), dfactor, ifactor).
+
+    ``controller="pi"`` uses the Hairer/Soderlind
+    proportional-integral rule ``h *= safety * ratio^(-icoeff/order) *
+    ratio_prev^(pcoeff/order)`` (ratio_prev from the last *accepted*
+    step). Same acceptance test — the solution still satisfies the
+    tolerance — but the damped step-size dynamics cut rejected steps
+    substantially on smooth flow-matching fields (the sampler's dopri5
+    NFE drops; see bench.py). torchdiffeq has no PI option; this is
+    TPU-side headroom at identical accuracy semantics.
+
+    ``return_stats=True`` also returns ``{"steps", "accepted", "nfe"}``
+    (nfe counts actual vf evaluations, including the 2 spent by the
+    initial-step heuristic).
     """
     tab = _TABLEAUS[method]
     n_stage = len(tab.c)
@@ -248,31 +265,38 @@ def odeint_adaptive(
         return x_new, err, f_last
 
     def cond(state):
-        t, x, f, h, n = state
+        t, x, f, h, r_prev, n, n_acc = state
         return (n < max_steps) & (direction * (t1 - t) > 1e-8)
 
     def body(state):
-        t, x, f, h, n = state
+        t, x, f, h, r_prev, n, n_acc = state
         # do not overshoot t1
         h = jnp.minimum(h, jnp.abs(t1 - t))
         x_new, err, f_last = rk_step(t, x, f, h)
-        ratio = _error_ratio(err, x, x_new, rtol, atol)
+        ratio = jnp.maximum(_error_ratio(err, x, x_new, rtol, atol), 1e-10)
         accept = ratio <= 1.0
-        factor = jnp.clip(
-            safety * jnp.power(jnp.maximum(ratio, 1e-10), -1.0 / tab.order),
-            dfactor,
-            ifactor,
-        )
-        h_next = h * factor
+        if controller == "pi":
+            factor = safety * jnp.power(ratio, -icoeff / tab.order) \
+                * jnp.power(r_prev, pcoeff / tab.order)
+        else:
+            factor = safety * jnp.power(ratio, -1.0 / tab.order)
+        h_next = h * jnp.clip(factor, dfactor, ifactor)
         t_next = jnp.where(accept, t + h * direction, t)
         x_next = jax.tree.map(
             lambda a, b: jnp.where(accept, b, a), x, x_new
         )
         f_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), f, f_last)
-        return (t_next, x_next, f_next, h_next, n + 1)
+        r_next = jnp.where(accept, ratio, r_prev)
+        return (t_next, x_next, f_next, h_next, r_next, n + 1,
+                n_acc + accept.astype(jnp.int32))
 
-    state = (t0, x0, f0, h0, jnp.zeros((), jnp.int32))
-    _, x_final, _, _, _ = lax.while_loop(cond, body, state)
+    state = (t0, x0, f0, h0, jnp.ones((), jnp.float32),
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    _, x_final, _, _, _, n, n_acc = lax.while_loop(cond, body, state)
+    if return_stats:
+        per_step = n_stage - 1 if tab.fsal else n_stage
+        stats = {"steps": n, "accepted": n_acc, "nfe": 2 + per_step * n}
+        return x_final, stats
     return x_final
 
 
@@ -307,6 +331,9 @@ def odeint(
     """
     sk = dict(solver_kwargs or {"solver": "adaptive", "solver_adaptive": "dopri5"})
     kind = sk.get("solver", "adaptive")
+    rtol = sk.get("rtol", rtol)
+    atol = sk.get("atol", atol)
+    controller = sk.get("controller", "i")
     if kind == "fixed":
         n = num_fixed_steps(t0, t1, sk.get("solver_fix_step", 0.01))
         return odeint_fixed(
@@ -317,7 +344,7 @@ def odeint(
     if kind == "adaptive":
         return odeint_adaptive(
             vf, x0, t0, t1, method=sk.get("solver_adaptive", "dopri5"),
-            rtol=rtol, atol=atol,
+            rtol=rtol, atol=atol, controller=controller,
         )
     if kind == "fixadp":
         if t_mid is None:
@@ -328,6 +355,6 @@ def odeint(
         )
         return odeint_adaptive(
             vf, x_mid, t_mid, t1, method=sk.get("solver_adaptive", "dopri5"),
-            rtol=rtol, atol=atol,
+            rtol=rtol, atol=atol, controller=controller,
         )
     raise NotImplementedError(f"solver={kind!r}")
