@@ -77,6 +77,53 @@ def int8_matmul(
     return (acc.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
 
 
+def activation_outlier_report(model, params, *inputs, norm_names=("norm1", "norm2")):
+    """Per-channel activation-amax diagnostics at the int8 view's
+    quantization points.
+
+    W8A8's known failure mode is per-channel activation outliers that
+    *emerge with training*: with row-wise (per-token) scales, one hot
+    channel inflates every row's amax and crushes the effective
+    precision of all other channels. This probes the LayerNorm outputs
+    (after LN folding these are exactly the tensors the kernels
+    row-quantize) via flax ``capture_intermediates`` on the standard
+    (non-fused) model view — same params as the quantized view.
+
+    Returns ``{layer_path: {"outlier_ratio", "amax", "top_channels"}}``
+    where outlier_ratio = max-channel amax / median-channel amax. Ratios
+    near 1 mean row scales lose nothing; >> 8 signals the standard
+    mitigation (static per-channel / sub-channel scales) is needed.
+    """
+    def filt(mdl, method):
+        return getattr(mdl, "name", "") in norm_names
+
+    _, st = model.apply(params, *inputs, capture_intermediates=filt,
+                        mutable=["intermediates"])
+
+    report = {}
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            if "__call__" in tree:
+                val = tree["__call__"][0]
+                a = jnp.abs(val.reshape(-1, val.shape[-1]).astype(jnp.float32))
+                ch_amax = jnp.max(a, axis=0)
+                med = jnp.median(ch_amax)
+                ratio = float(jnp.max(ch_amax) / jnp.maximum(med, 1e-8))
+                top = jnp.argsort(-ch_amax)[:5]
+                report[path] = {
+                    "outlier_ratio": ratio,
+                    "amax": float(jnp.max(ch_amax)),
+                    "top_channels": [int(i) for i in top],
+                }
+            else:
+                for k, v in tree.items():
+                    walk(v, f"{path}/{k}" if path else k)
+
+    walk(st["intermediates"], "")
+    return report
+
+
 def int8_dense(
     x: Array, w: Array, bias: Optional[Array] = None,
     out_dtype: Optional[jnp.dtype] = None,
