@@ -152,7 +152,8 @@ def test_int8_view_quality_gate_on_trained_weights(tmp_path):
     rep = activation_outlier_report(
         model, params, z, jnp.full((8,), 0.4))
     norms = [k for k in rep if "norm1" in k or "norm2" in k]
-    assert len(norms) == 2 * cfg.nnet.depth
+    # U-ViT has depth//2 in-blocks + 1 mid + depth//2 out-blocks
+    assert len(norms) == 2 * (2 * (cfg.nnet.depth // 2) + 1)
     assert all(np.isfinite(v["outlier_ratio"]) and v["outlier_ratio"] >= 1.0
                for v in rep.values())
 

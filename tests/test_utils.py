@@ -86,3 +86,24 @@ class TestProfiling:
     def test_trace_noop(self):
         with trace(None):
             pass  # no-op path
+
+
+def test_strip_prefix_in_dir(tmp_path):
+    """utils.misc.strip_prefix_in_dir (reference tools/utils_misc.py):
+    strips the *leading* prefix only and refuses to clobber."""
+    from uspace_tpu.utils.misc import strip_prefix_in_dir
+
+    d = tmp_path / "feats"
+    d.mkdir()
+    for name in ("tail_a.npy", "tail_b_tail_x.npy", "keep.npy"):
+        (d / name).write_text("x")
+    out = strip_prefix_in_dir(str(d), "tail_")
+    names = sorted(p.name for p in d.iterdir())
+    assert names == ["a.npy", "b_tail_x.npy", "keep.npy"]  # interior kept
+    assert len(out) == 2
+    # collision protection
+    (d / "tail_keep.npy").write_text("x")
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        strip_prefix_in_dir(str(d), "tail_")

@@ -1,1 +1,1 @@
-from . import logging_utils, profiling, ptp_vis, vis
+from . import logging_utils, misc, profiling, ptp_vis, vis
