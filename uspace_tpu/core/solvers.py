@@ -28,6 +28,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 Array = jax.Array
@@ -240,28 +241,47 @@ def odeint_adaptive(
     t1 = jnp.asarray(t1, jnp.float32)
     direction = jnp.sign(t1 - t0)
 
+    # dense tableau: the stage recursion runs as a lax.scan so the (big)
+    # velocity field is traced ONCE into the loop body instead of once
+    # per stage — a ~6x smaller HLO for dopri5 over a 21-block denoiser,
+    # which cuts XLA compile time from tens of minutes to minutes at the
+    # bench shape. A is lower-triangular; un-filled k-slots are zeros so
+    # the dense row contraction is exact.
+    A = np.zeros((n_stage, n_stage), np.float32)
+    for i in range(1, n_stage):
+        A[i, : len(tab.a[i])] = tab.a[i]
+    A = jnp.asarray(A)
+    c_nodes = jnp.asarray(tab.c, jnp.float32)
+    b_high = jnp.asarray(tab.b, jnp.float32)
+    b_err = jnp.asarray(tab.b_err, jnp.float32)
+
     f0 = vf(t0, x0)
     h0 = _initial_step(vf, t0, x0, f0, direction, tab.order, rtol, atol)
+
+    def _contract(w, ks):
+        """sum_j w[j] * ks[j] over the stacked stage axis."""
+        return jax.tree.map(
+            lambda kk: jnp.tensordot(w, kk.astype(jnp.float32), axes=(0, 0)
+                                     ).astype(kk.dtype), ks)
 
     def rk_step(t, x, f_first, h):
         """One embedded RK step of signed size h*direction."""
         hs = h * direction
-        ks = [f_first]
-        for i in range(1, n_stage):
-            xi = x
-            for j, aij in enumerate(tab.a[i]):
-                if aij != 0.0:
-                    xi = jax.tree.map(lambda a, b: a + hs * aij * b, xi, ks[j])
-            ks.append(vf(t + tab.c[i] * hs, xi))
-        x_new = x
-        for bi, ki in zip(tab.b, ks):
-            if bi != 0.0:
-                x_new = jax.tree.map(lambda a, b: a + hs * bi * b, x_new, ki)
-        err = jax.tree.map(jnp.zeros_like, x)
-        for ei, ki in zip(tab.b_err, ks):
-            if ei != 0.0:
-                err = jax.tree.map(lambda a, b: a + hs * ei * b, err, ki)
-        f_last = ks[-1] if tab.fsal else vf(t + hs, x_new)
+        ks0 = jax.tree.map(
+            lambda f: jnp.zeros((n_stage,) + f.shape, f.dtype).at[0].set(f),
+            f_first)
+
+        def stage(ks, i):
+            xi = jax.tree.map(lambda a, b: a + hs * b, x, _contract(A[i], ks))
+            ki = vf(t + c_nodes[i] * hs, xi)
+            return jax.tree.map(lambda kk, kn: kk.at[i].set(kn), ks, ki), None
+
+        ks, _ = lax.scan(stage, ks0, jnp.arange(1, n_stage))
+        x_new = jax.tree.map(lambda a, b: a + hs * b, x,
+                             _contract(b_high, ks))
+        err = jax.tree.map(lambda e: hs * e, _contract(b_err, ks))
+        f_last = (jax.tree.map(lambda kk: kk[-1], ks) if tab.fsal
+                  else vf(t + hs, x_new))
         return x_new, err, f_last
 
     def cond(state):
