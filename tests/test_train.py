@@ -127,6 +127,72 @@ class TestMeshSharding:
                                        rtol=1e-4, atol=1e-5)
 
 
+class TestShardMapKernels:
+    """parallel.mesh.shard_batch_call: the Pallas kernels' scale-out path
+    (engaged only under an ambient mesh) must match the mesh-less result
+    exactly and fall back cleanly when the batch does not divide."""
+
+    def _packed_case(self, rng, b):
+        from uspace_tpu.ops.attention import fused_qkv_attention
+
+        qkv = jax.random.normal(rng, (b, 17, 3 * 4 * 16)) * 0.3
+        return qkv, lambda q: fused_qkv_attention(q, 4)
+
+    def test_packed_kernel_matches_under_mesh(self, rng):
+        qkv, fn = self._packed_case(rng, 8)
+        ref = fn(qkv)
+        mesh = meshlib.create_mesh(dp=2, fsdp=2, tp=2)
+        with meshlib.use_mesh(mesh):
+            out = jax.jit(fn)(qkv)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_non_divisible_batch_falls_back(self, rng):
+        qkv, fn = self._packed_case(rng, 3)  # 3 % 4 != 0
+        ref = fn(qkv)
+        mesh = meshlib.create_mesh(dp=2, fsdp=2, tp=2)
+        with meshlib.use_mesh(mesh):
+            out = jax.jit(fn)(qkv)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_mlp_kernel_matches_under_mesh(self, rng):
+        from uspace_tpu.ops.mlp import fused_mlp
+
+        x = jax.random.normal(rng, (8, 17, 32)) * 0.5
+        k = jax.random.fold_in
+        w1 = jax.random.normal(k(rng, 1), (32, 64)) * 0.1
+        b1 = jnp.zeros((64,))
+        w2 = jax.random.normal(k(rng, 2), (64, 32)) * 0.1
+        b2 = jnp.zeros((32,))
+        fn = lambda x: fused_mlp(x, w1, b1, w2, b2)
+        ref = fn(x)
+        mesh = meshlib.create_mesh(dp=2, fsdp=2, tp=2)
+        with meshlib.use_mesh(mesh):
+            out = jax.jit(fn)(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_int8_lnmlp_block_under_mesh(self, rng):
+        from uspace_tpu.models.layers import Block
+
+        x = (jax.random.normal(rng, (8, 17, 64)) * 0.5).astype(jnp.bfloat16)
+        blk = Block(num_heads=4, dtype=jnp.bfloat16, quant=True,
+                    attn_impl="pallas_lnmlp")
+        params = blk.init(rng, x)
+        ref = blk.apply(params, x)
+        mesh = meshlib.create_mesh(dp=2, fsdp=2, tp=2)
+        with meshlib.use_mesh(mesh):
+            out = jax.jit(lambda p, x: blk.apply(p, x))(params, x)
+        # int8 rounding ties can flip one grid step under different
+        # instruction orderings; demand near-total elementwise equality
+        a = np.asarray(out, np.float32)
+        b = np.asarray(ref, np.float32)
+        frac = np.mean(~np.isclose(a, b, rtol=1e-5, atol=1e-6))
+        assert frac < 1e-3, frac
+        np.testing.assert_allclose(a, b, rtol=0.1, atol=0.05)
+
+
 class TestShardedSampling:
     def test_sampler_shards_over_mesh(self, rng):
         """The compiled ODE sampler must run with the batch sharded over
