@@ -255,6 +255,11 @@ def odeint_adaptive(
     b_high = jnp.asarray(tab.b, jnp.float32)
     b_err = jnp.asarray(tab.b_err, jnp.float32)
 
+    # inner jit: the velocity field still has three call sites (f0, the
+    # initial-step probe, the stage scan) — as a pjit sub-computation its
+    # body is traced/lowered once and shared, instead of inlined thrice
+    # (big lowering-time win for deep denoisers on slow-compile backends)
+    vf = jax.jit(vf)
     f0 = vf(t0, x0)
     h0 = _initial_step(vf, t0, x0, f0, direction, tab.order, rtol, atol)
 
