@@ -288,6 +288,15 @@ def bench_train(params, rng):
 
 
 def main():
+    import os
+
+    t_start = time.time()
+    # extras (dopri5/e2e/t2i/unet) stop starting once this much wall
+    # time is spent: remote-tunnel compiles can be slow, and the core
+    # headline line must always be printed (it is emitted first; the
+    # driver takes the LAST JSON line, so a kill mid-extras still
+    # leaves a valid result)
+    deadline = float(os.environ.get("USPACE_BENCH_DEADLINE", 2100))
     rng = jax.random.PRNGKey(0)
     model = _uvit()
     x0 = jnp.zeros((1, 32, 32, 4), jnp.float32)
@@ -317,12 +326,16 @@ def main():
         result["quality_latent_cosine_vs_bf16"] = round(cos0, 5)
         result["quality_latent_rel_l2_vs_bf16"] = round(rel0, 5)
         result["quality_weights"] = "random-init"
+    print(json.dumps(result), flush=True)  # core line lands first
     for key, fn, args in (
-        ("dopri5", bench_dopri5, (params, jax.random.fold_in(rng, 4))),
         ("e2e", bench_e2e, (params, jax.random.fold_in(rng, 5))),
         ("t2i", bench_t2i, (jax.random.fold_in(rng, 6),)),
         ("unet", bench_unet, (jax.random.fold_in(rng, 7),)),
+        ("dopri5", bench_dopri5, (params, jax.random.fold_in(rng, 4))),
     ):
+        if time.time() - t_start > deadline:
+            result[f"{key}_skipped"] = "bench deadline reached"
+            continue
         try:
             out = fn(*args)
             if key == "dopri5":
@@ -332,6 +345,7 @@ def main():
                 result[f"{key}_imgs_per_sec"] = round(out, 2)
         except Exception as e:  # keep the headline line robust
             result[f"{key}_error"] = f"{type(e).__name__}: {e}"[:120]
+        print(json.dumps(result), flush=True)  # last complete line wins
     print(json.dumps(result))
 
 
