@@ -300,7 +300,9 @@ def main():
     rng = jax.random.PRNGKey(0)
     model = _uvit()
     x0 = jnp.zeros((1, 32, 32, 4), jnp.float32)
-    params = model.init(rng, x0, jnp.zeros((1,)))
+    # jitted init: eager init issues one remote op per parameter through
+    # the axon tunnel (minutes for a 0.3B-param model)
+    params = jax.jit(model.init)(rng, x0, jnp.zeros((1,)))
 
     ips = bench_sampler(params, rng)
     cos0, rel0 = bench_quality(params, rng)

@@ -79,13 +79,16 @@ class TrainState(struct.PyTreeNode):
 
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation):
+        # jitted copies/inits: done eagerly these issue one remote op per
+        # parameter leaf, which costs minutes per 0.3B-param model on
+        # RPC-per-op backends (the axon TPU tunnel)
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             # real copy, not an alias: the train step donates the whole
             # state, and aliased buffers cannot be donated twice
-            ema_params=jax.tree.map(jnp.copy, params),
-            opt_state=tx.init(params),
+            ema_params=jax.jit(lambda p: jax.tree.map(jnp.copy, p))(params),
+            opt_state=jax.jit(tx.init)(params),
         )
 
 
