@@ -129,7 +129,11 @@ def bench_quality(params, rng):
 
 def bench_dopri5(params, rng):
     """Reference eval-default solver (dopri5 rtol=atol=1e-5) on the bf16
-    LN-fused view, PI controller. Returns (img/s, nfe)."""
+    LN-fused view, PI controller. Uses the host-driven loop
+    (core.solvers.odeint_adaptive_host): the axon tunnel's remote
+    compiler cannot take the full while_loop program at this model
+    scale, and the host loop costs one scalar fetch per step.
+    Returns (img/s, nfe)."""
     from uspace_tpu.core import solvers
 
     model = _uvit(attn_impl="pallas_lnmlp")
@@ -138,19 +142,16 @@ def bench_dopri5(params, rng):
         tb = jnp.full((BATCH,), t, jnp.float32)
         return model.apply(params, x, tb)[0].astype(jnp.float32)
 
-    @jax.jit
-    def run(params, rng):
+    def run(rng):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
-        x1, s = solvers.odeint_adaptive(
+        x1, s = solvers.odeint_adaptive_host(
             vf, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
             controller="pi", return_stats=True)
-        return x1.mean(), s["nfe"]
+        return float(x1.mean()), s["nfe"]
 
-    out = run(params, rng)
-    _ = [float(o) for o in out]
+    _ = run(rng)  # compile + warm (one rk_step program)
     t0 = time.perf_counter()
-    out = run(params, jax.random.fold_in(rng, 1))
-    mean, nfe = [float(o) for o in out]
+    _, nfe = run(jax.random.fold_in(rng, 1))
     dt = time.perf_counter() - t0
     return BATCH / dt, int(nfe)
 

@@ -173,6 +173,26 @@ class TestAdaptiveSolvers:
         rej_p = (int(sp["steps"]) - int(sp["accepted"])) / int(sp["steps"])
         assert rej_p <= rej_i + 1e-9
 
+    def test_host_driver_matches_device_loop(self):
+        """odeint_adaptive_host (python loop + one jitted RK-step
+        program, for backends whose compiler can't take the full
+        while_loop) must reproduce the device loop step-for-step."""
+        def vf(t, x):
+            return jnp.stack([x[1], -25.0 * x[0]])
+
+        x0 = jnp.array([1.0, 0.0])
+        for ctrl in ("i", "pi"):
+            xd, sd = solvers.odeint_adaptive(
+                vf, x0, 0.0, 1.0, rtol=1e-6, atol=1e-6, controller=ctrl,
+                return_stats=True)
+            xh, sh = solvers.odeint_adaptive_host(
+                vf, x0, 0.0, 1.0, rtol=1e-6, atol=1e-6, controller=ctrl,
+                return_stats=True)
+            assert int(sd["steps"]) == sh["steps"]
+            assert int(sd["accepted"]) == sh["accepted"]
+            np.testing.assert_allclose(np.asarray(xh), np.asarray(xd),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_stats_nfe_accounting(self):
         _, s = solvers.odeint_adaptive(_linear_vf(-1.0), jnp.ones((2,)),
                                        0.0, 1.0, return_stats=True)

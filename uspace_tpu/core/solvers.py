@@ -325,6 +325,111 @@ def odeint_adaptive(
     return x_final
 
 
+def odeint_adaptive_host(
+    vf: Callable,
+    x0: Any,
+    t0: float,
+    t1: float,
+    method: str = "dopri5",
+    rtol: float = _RTOL,
+    atol: float = _ATOL,
+    max_steps: int = 4096,
+    safety: float = 0.9,
+    ifactor: float = 10.0,
+    dfactor: float = 0.2,
+    controller: str = "i",
+    pcoeff: float = 0.4,
+    icoeff: float = 0.7,
+    return_stats: bool = False,
+):
+    """Host-driven twin of :func:`odeint_adaptive`: the embedded RK step
+    (stage scan + error ratio) is ONE small jitted program invoked from a
+    Python loop, with only the accept/step-size controller on the host —
+    torchdiffeq's own architecture.
+
+    Same numerics as the device loop (shared tableaus/controller rules).
+    Exists because a single giant ``while_loop`` program can exceed what
+    a backend's compiler service handles (the axon tunnel's
+    remote_compile crashes on dopri5 over a 21-block denoiser), and a
+    host loop costs only one scalar fetch per step. Not jittable as a
+    whole — use the device loop inside larger compiled programs.
+    """
+    tab = _TABLEAUS[method]
+    n_stage = len(tab.c)
+    A = np.zeros((n_stage, n_stage), np.float32)
+    for i in range(1, n_stage):
+        A[i, : len(tab.a[i])] = tab.a[i]
+    A = jnp.asarray(A)
+    c_nodes = jnp.asarray(tab.c, jnp.float32)
+    b_high = jnp.asarray(tab.b, jnp.float32)
+    b_err = jnp.asarray(tab.b_err, jnp.float32)
+    direction = 1.0 if t1 >= t0 else -1.0
+
+    vf = jax.jit(vf)
+
+    def _contract(w, ks):
+        return jax.tree.map(
+            lambda kk: jnp.tensordot(w, kk.astype(jnp.float32), axes=(0, 0)
+                                     ).astype(kk.dtype), ks)
+
+    @jax.jit
+    def rk_step(t, x, f_first, h):
+        hs = h * direction
+        ks0 = jax.tree.map(
+            lambda f: jnp.zeros((n_stage,) + f.shape, f.dtype).at[0].set(f),
+            f_first)
+
+        def stage(ks, i):
+            xi = jax.tree.map(lambda a, b: a + hs * b, x, _contract(A[i], ks))
+            ki = vf(t + c_nodes[i] * hs, xi)
+            return jax.tree.map(lambda kk, kn: kk.at[i].set(kn), ks, ki), None
+
+        ks, _ = lax.scan(stage, ks0, jnp.arange(1, n_stage))
+        x_new = jax.tree.map(lambda a, b: a + hs * b, x,
+                             _contract(b_high, ks))
+        err = jax.tree.map(lambda e: hs * e, _contract(b_err, ks))
+        f_last = (jax.tree.map(lambda kk: kk[-1], ks) if tab.fsal
+                  else vf(t + hs, x_new))
+        ratio = _error_ratio(err, x, x_new, rtol, atol)
+        return x_new, f_last, ratio
+
+    @jax.jit
+    def init_fn(x0):
+        f0 = vf(jnp.float32(t0), x0)
+        h0 = _initial_step(vf, jnp.float32(t0), x0, f0, direction,
+                           tab.order, rtol, atol)
+        return f0, h0
+
+    f, h0 = init_fn(x0)
+    h = float(h0)
+    t, x = float(t0), x0
+    r_prev = 1.0
+    n = n_acc = 0
+    while n < max_steps and direction * (t1 - t) > 1e-8:
+        h_step = min(h, abs(t1 - t))
+        x_new, f_last, ratio = rk_step(
+            jnp.float32(t), x, f, jnp.float32(h_step))
+        ratio = max(float(ratio), 1e-10)
+        accept = ratio <= 1.0
+        if controller == "pi":
+            factor = safety * ratio ** (-icoeff / tab.order) \
+                * r_prev ** (pcoeff / tab.order)
+        else:
+            factor = safety * ratio ** (-1.0 / tab.order)
+        h = h_step * min(max(factor, dfactor), ifactor)
+        n += 1
+        if accept:
+            t += h_step * direction
+            x, f = x_new, f_last
+            r_prev = ratio
+            n_acc += 1
+    if return_stats:
+        per_step = n_stage - 1 if tab.fsal else n_stage
+        stats = {"steps": n, "accepted": n_acc, "nfe": 2 + per_step * n}
+        return x, stats
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Reference-compatible driver (solver_kwargs surface)
 # ---------------------------------------------------------------------------
@@ -367,7 +472,9 @@ def odeint(
     if has_aux:
         raise ValueError("activation capture requires a fixed-step solver")
     if kind == "adaptive":
-        return odeint_adaptive(
+        fn = (odeint_adaptive_host if sk.get("driver") == "host"
+              else odeint_adaptive)
+        return fn(
             vf, x0, t0, t1, method=sk.get("solver_adaptive", "dopri5"),
             rtol=rtol, atol=atol, controller=controller,
         )
