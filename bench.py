@@ -305,9 +305,17 @@ def main():
     # the axon tunnel (minutes for a 0.3B-param model)
     params = jax.jit(model.init)(rng, x0, jnp.zeros((1,)))
 
-    ips = bench_sampler(params, rng)
-    cos0, rel0 = bench_quality(params, rng)
-    train_ips, train_bs, trained = bench_train(params, rng)
+    # every section individually fault-tolerant: the tunnel's compile
+    # service can crash on big programs; whatever succeeded must still
+    # be reported (retry once per section — the service restarts)
+    def attempt(fn, *args):
+        try:
+            return fn(*args)
+        except Exception:
+            time.sleep(20)
+            return fn(*args)
+
+    ips = attempt(bench_sampler, params, rng)
     result = {
         "metric": "images/sec/chip @256px U-ViT-large 50-step Euler",
         "value": round(ips, 3),
@@ -316,16 +324,32 @@ def main():
         "baseline_note": "analytic A100-fp16@40%MFU estimate (11.0 img/s);"
                          " reference publishes no numbers",
         "sampler_precision": "int8-w8a8-dynamic (f32 softmax/LN/acc)",
-        "train_imgs_per_sec_per_chip": round(train_ips, 2),
-        "train_batch_per_chip": train_bs,
     }
+    print(json.dumps(result), flush=True)  # headline lands first
+    cos0 = rel0 = None
+    try:
+        cos0, rel0 = attempt(bench_quality, params, rng)
+    except Exception as e:
+        result["quality_error"] = f"{type(e).__name__}: {e}"[:120]
+    trained = None
+    try:
+        train_ips, train_bs, trained = attempt(bench_train, params, rng)
+        result["train_imgs_per_sec_per_chip"] = round(train_ips, 2)
+        result["train_batch_per_chip"] = train_bs
+    except Exception as e:
+        result["train_error"] = f"{type(e).__name__}: {e}"[:120]
     if trained is not None:
-        cos_t, rel_t = bench_quality(trained, jax.random.fold_in(rng, 3))
-        result["quality_latent_cosine_vs_bf16"] = round(cos_t, 5)
-        result["quality_latent_rel_l2_vs_bf16"] = round(rel_t, 5)
-        result["quality_weights"] = f"trained {TRAIN_EXTRA_STEPS}+16 steps in-bench"
-        result["quality_latent_cosine_random_init"] = round(cos0, 5)
-    else:
+        try:
+            cos_t, rel_t = bench_quality(trained, jax.random.fold_in(rng, 3))
+            result["quality_latent_cosine_vs_bf16"] = round(cos_t, 5)
+            result["quality_latent_rel_l2_vs_bf16"] = round(rel_t, 5)
+            result["quality_weights"] = \
+                f"trained {TRAIN_EXTRA_STEPS}+16 steps in-bench"
+            if cos0 is not None:
+                result["quality_latent_cosine_random_init"] = round(cos0, 5)
+        except Exception as e:
+            result["quality_error"] = f"{type(e).__name__}: {e}"[:120]
+    elif cos0 is not None:
         result["quality_latent_cosine_vs_bf16"] = round(cos0, 5)
         result["quality_latent_rel_l2_vs_bf16"] = round(rel0, 5)
         result["quality_weights"] = "random-init"
