@@ -400,7 +400,20 @@ def _packed_attention_fwd(qkv, num_heads, scale, interpret):
     return _packed_call(qkv, num_heads, scale, interpret), qkv
 
 
+def _fused_bwd_enabled() -> bool:
+    """Kill-switch for the fused Pallas attention backward
+    (USPACE_FUSED_ATTN_BWD=0 falls back to the XLA-recompute backward
+    that materializes [B,H,L,L] in HBM). Used to bisect backend kernel
+    faults without a code change."""
+    import os
+
+    return os.environ.get("USPACE_FUSED_ATTN_BWD", "1") != "0"
+
+
 def _packed_attention_bwd(num_heads, scale, interpret, qkv, g):
+    if not _fused_bwd_enabled():
+        _, vjp = jax.vjp(lambda x: _packed_xla(x, num_heads, scale), qkv)
+        return vjp(g)
     # fused Pallas backward (recompute-in-VMEM): no [B,H,L,L] HBM tensor
     return (_packed_bwd_call(qkv, g, num_heads, scale, interpret),)
 
@@ -946,6 +959,11 @@ def _qkv_attn_fwd(x, w_qkv, num_heads, scale, interpret):
 
 
 def _qkv_attn_bwd(num_heads, scale, interpret, res, g):
+    if not _fused_bwd_enabled():
+        x, w_qkv = res
+        _, vjp = jax.vjp(lambda a, w: _qkvproj_xla(a, w, num_heads, scale),
+                         x, w_qkv)
+        return vjp(g)
     # recompute the (cheap) projection in XLA, run the fused Pallas
     # attention backward, then dx/dw are two plain matmuls — the
     # [B,H,L,L] probability tensor stays in VMEM throughout
