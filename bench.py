@@ -41,6 +41,7 @@ img/s alongside wherever the multiple is quoted.
 Prints ONE JSON line.
 """
 
+import functools
 import json
 import time
 
@@ -260,7 +261,9 @@ def bench_train(params, rng):
             batch = {"x": jax.random.normal(
                 jax.random.fold_in(rng, 99), (bs, 32, 32, 8), jnp.float32)}
 
-            @jax.jit
+            # donated: without it two TrainStates (~9.6 GB) plus step
+            # transients exceed HBM at batch 128 and crash the worker
+            @functools.partial(jax.jit, donate_argnums=(0,))
             def run(state, batch, rng, n):
                 def body(i, carry):
                     st, acc = carry
