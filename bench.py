@@ -41,7 +41,6 @@ img/s alongside wherever the multiple is quoted.
 Prints ONE JSON line.
 """
 
-import functools
 import json
 import time
 
@@ -251,39 +250,35 @@ def bench_train(params, rng):
     model = _uvit(use_checkpoint=True, attn_impl="pallas_packed")
     lr = get_lr_schedule("customized", 2e-4, warmup_steps=100)
     tx = get_optimizer("adam", lr, betas=(0.99, 0.99), weight_decay=0.03)
-    state = TrainState.create(params, tx)
-    step = make_train_step(model, tx, lr_schedule=lr, ema_rate=0.995,
-                           latents_from_moments=True)
+    # dispatch loop over ONE donated step, not a fori-chain: a fori
+    # wrapper double-buffers the 4.8 GB TrainState carry and crashes the
+    # worker at batch 128; per-step dispatch is async (steps pipeline on
+    # device) and costs ~30 ms once at the final fetch
+    step = jax.jit(make_train_step(model, tx, lr_schedule=lr,
+                                   ema_rate=0.995,
+                                   latents_from_moments=True),
+                   donate_argnums=(0,))
     reps = 8
 
     for bs in (128, 64):
         try:
+            state = TrainState.create(params, tx)  # fresh: donation
+            # consumes the previous attempt's buffers
             batch = {"x": jax.random.normal(
                 jax.random.fold_in(rng, 99), (bs, 32, 32, 8), jnp.float32)}
-
-            # donated: without it two TrainStates (~9.6 GB) plus step
-            # transients exceed HBM at batch 128 and crash the worker
-            @functools.partial(jax.jit, donate_argnums=(0,))
-            def run(state, batch, rng, n):
-                def body(i, carry):
-                    st, acc = carry
-                    st, m = step(st, batch, jax.random.fold_in(rng, i))
-                    return st, acc + m["loss"]
-
-                st, acc = jax.lax.fori_loop(
-                    0, n, body, (state, jnp.float32(0.0)))
-                return st, acc
-
-            state, _ = run(state, batch, rng, reps)
-            _ = float(_)  # compile + warm
+            state, m = step(state, batch, rng)
+            _ = float(m["loss"])  # compile + warm
             t0 = time.perf_counter()
-            state, acc = run(state, batch, rng, reps)
-            _ = float(acc)
+            for i in range(reps):
+                state, m = step(state, batch, jax.random.fold_in(rng, i))
+            _ = float(m["loss"])
             dt = time.perf_counter() - t0
             ips = bs * reps / dt
             # leave behind trained-ish weights for the quality gate
-            state, acc = run(state, batch, rng, TRAIN_EXTRA_STEPS)
-            _ = float(acc)
+            for i in range(TRAIN_EXTRA_STEPS):
+                state, m = step(state, batch,
+                                jax.random.fold_in(rng, 1000 + i))
+            _ = float(m["loss"])
             return ips, bs, {"params": state.ema_params["params"]}
         except Exception:  # OOM at 128: retry at the round-1 batch
             if bs == 64:
