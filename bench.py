@@ -262,8 +262,11 @@ def bench_train(params, rng):
 
     for bs in (128, 64):
         try:
-            state = TrainState.create(params, tx)  # fresh: donation
-            # consumes the previous attempt's buffers
+            # the donated step consumes the state's buffers, and
+            # TrainState.create references `params` directly — train on a
+            # copy so the caller's params survive for later sections
+            p_copy = jax.jit(lambda p: jax.tree.map(jnp.copy, p))(params)
+            state = TrainState.create(p_copy, tx)
             batch = {"x": jax.random.normal(
                 jax.random.fold_in(rng, 99), (bs, 32, 32, 8), jnp.float32)}
             state, m = step(state, batch, rng)
