@@ -44,6 +44,7 @@ Prints ONE JSON line.
 import json
 import time
 
+import uspace_tpu  # noqa: F401  (re-asserts JAX_PLATFORMS before backend init)
 import jax
 import jax.numpy as jnp
 
@@ -289,6 +290,53 @@ def bench_train(params, rng):
     return 0.0, 0, None
 
 
+def _wait_backend(max_wait=240):
+    """Poll the backend with a tiny FRESH-shape matmul (a cached
+    executable would not exercise a restarted compile service) until it
+    answers or the budget runs out."""
+    t0 = time.time()
+    k = 1
+    while time.time() - t0 < max_wait:
+        try:
+            x = jnp.ones((8, 8 + k)) @ jnp.ones((8 + k, 8))
+            _ = float(x.sum())
+            return
+        except Exception:
+            k += 1
+            time.sleep(15)
+
+
+def run_section(key):
+    """Run one extra section in THIS process and print its JSON fragment.
+
+    Invoked as `python bench.py --section=KEY` by main(): the tunnel's
+    compile service can crash on the biggest programs (T2I CFG sampler,
+    adaptive solvers) and a crash can wedge the in-process client on the
+    dead port — each extra therefore gets a fresh process/client, and a
+    crash cannot take later sections down with it."""
+    _wait_backend()
+    rng = jax.random.PRNGKey(0)
+    if key in ("e2e", "dopri5"):
+        model = _uvit()
+        params = jax.jit(model.init)(
+            rng, jnp.zeros((1, 32, 32, 4), jnp.float32), jnp.zeros((1,)))
+    if key == "e2e":
+        out = {"e2e_imgs_per_sec": round(
+            bench_e2e(params, jax.random.fold_in(rng, 5)), 2)}
+    elif key == "dopri5":
+        ips, nfe = bench_dopri5(params, jax.random.fold_in(rng, 4))
+        out = {"dopri5_imgs_per_sec": round(ips, 2), "dopri5_nfe": nfe}
+    elif key == "t2i":
+        out = {"t2i_imgs_per_sec": round(
+            bench_t2i(jax.random.fold_in(rng, 6)), 2)}
+    elif key == "unet":
+        out = {"unet_imgs_per_sec": round(
+            bench_unet(jax.random.fold_in(rng, 7)), 2)}
+    else:
+        raise SystemExit(f"unknown section {key!r}")
+    print("SECTION_RESULT " + json.dumps(out), flush=True)
+
+
 def main():
     import os
 
@@ -306,14 +354,15 @@ def main():
     # the axon tunnel (minutes for a 0.3B-param model)
     params = jax.jit(model.init)(rng, x0, jnp.zeros((1,)))
 
-    # every section individually fault-tolerant: the tunnel's compile
-    # service can crash on big programs; whatever succeeded must still
-    # be reported (retry once per section — the service restarts)
+    # the in-process sections are individually fault-tolerant: the
+    # tunnel's compile service can crash on big programs; whatever
+    # succeeded must still be reported (poll the backend back to life,
+    # then retry the section once — the service restarts)
     def attempt(fn, *args):
         try:
             return fn(*args)
         except Exception:
-            time.sleep(20)
+            _wait_backend()
             return fn(*args)
 
     ips = attempt(bench_sampler, params, rng)
@@ -355,27 +404,54 @@ def main():
         result["quality_latent_rel_l2_vs_bf16"] = round(rel0, 5)
         result["quality_weights"] = "random-init"
     print(json.dumps(result), flush=True)  # core line lands first
-    for key, fn, args in (
-        ("e2e", bench_e2e, (params, jax.random.fold_in(rng, 5))),
-        ("t2i", bench_t2i, (jax.random.fold_in(rng, 6),)),
-        ("unet", bench_unet, (jax.random.fold_in(rng, 7),)),
-        ("dopri5", bench_dopri5, (params, jax.random.fold_in(rng, 4))),
-    ):
-        if time.time() - t_start > deadline:
+    # extras run in SUBPROCESSES (fresh jax client per section): the
+    # biggest programs (T2I CFG sampler, adaptive solvers) can crash the
+    # tunnel's compile service, and a crash wedges the crashing process's
+    # client — isolation means one bad section cannot take the rest (or
+    # the already-printed core line) down with it. Order: cheapest
+    # first, crash-prone t2i last.
+    import subprocess
+    import sys
+
+    for key in ("e2e", "dopri5", "unet", "t2i"):
+        remaining = deadline - (time.time() - t_start)
+        if remaining < 120:
             result[f"{key}_skipped"] = "bench deadline reached"
             continue
-        try:
-            out = fn(*args)
-            if key == "dopri5":
-                result["dopri5_imgs_per_sec"] = round(out[0], 2)
-                result["dopri5_nfe"] = out[1]
-            else:
-                result[f"{key}_imgs_per_sec"] = round(out, 2)
-        except Exception as e:  # keep the headline line robust
-            result[f"{key}_error"] = f"{type(e).__name__}: {e}"[:120]
+        for retry in range(2):  # second try = fresh process + client
+            try:
+                remaining = deadline - (time.time() - t_start)
+                if remaining < 120:
+                    break
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--section", key],
+                    capture_output=True, text=True,
+                    timeout=min(remaining, 900.0))
+                frag = None
+                for line in proc.stdout.splitlines():
+                    if line.startswith("SECTION_RESULT "):
+                        frag = json.loads(line[len("SECTION_RESULT "):])
+                if frag is None:
+                    tail = (proc.stderr or proc.stdout).strip().splitlines()
+                    result[f"{key}_error"] = \
+                        (tail[-1] if tail else f"rc={proc.returncode}")[:120]
+                else:
+                    result.update(frag)
+                    result.pop(f"{key}_error", None)
+                    break
+            except subprocess.TimeoutExpired:
+                result[f"{key}_error"] = "section timeout"
+            except Exception as e:  # keep the headline line robust
+                result[f"{key}_error"] = f"{type(e).__name__}: {e}"[:120]
         print(json.dumps(result), flush=True)  # last complete line wins
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--section":
+        run_section(sys.argv[2])
+    else:
+        main()
