@@ -183,6 +183,31 @@ def bench_e2e(params, rng):
     return BATCH / dt
 
 
+def _host_euler_throughput(vf, params, rng):
+    """Fallback timing path: ONE jitted Euler step dispatched STEPS times
+    from the host (async dispatch pipelines on device; one fetch at the
+    end). Step-for-step identical to the `lax.scan` program, but the
+    compiled program is a single forward — the tunnel's compile service
+    handles those reliably even when it crashes on the scan-of-50."""
+    dt = 1.0 / STEPS
+
+    @jax.jit
+    def one(params, x, i):
+        t = i.astype(jnp.float32) * dt
+        return x + dt * vf(jnp.full((x.shape[0],), t, jnp.float32), x)
+
+    def run(rng):
+        x = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
+        for i in range(STEPS):
+            x = one(params, x, jnp.int32(i))
+        return float(x.mean())
+
+    _ = run(rng)  # compile + warm
+    t0 = time.perf_counter()
+    _ = run(jax.random.fold_in(rng, 1))
+    return BATCH / (time.perf_counter() - t0)
+
+
 def bench_t2i(rng):
     """U-ViT-T2I (L=334) with fused-2B classifier-free guidance, int8."""
     from uspace_tpu.core import flow
@@ -190,7 +215,7 @@ def bench_t2i(rng):
     from uspace_tpu.models import UViTT2I
 
     model = UViTT2I(img_size=32, patch_size=2, in_chans=4, embed_dim=1024,
-                    depth=20, num_heads=16, clip_dim=768, num_clip_token=77,
+                    num_heads=16, depth=20, clip_dim=768, num_clip_token=77,
                     dtype=jnp.bfloat16, quant=True)
     x0 = jnp.zeros((1, 32, 32, 4), jnp.float32)
     ctx0 = jnp.zeros((1, 77, 768), jnp.float32)
@@ -204,7 +229,13 @@ def bench_t2i(rng):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
         return flow.decode(vf, z, _euler_ode()).mean()
 
-    _ = float(run(params, rng))
+    try:
+        _ = float(run(params, rng))
+    except Exception:
+        # the scan-of-50 CFG program intermittently crashes the tunnel's
+        # compile service; recover it and time the host-stepped twin
+        _wait_backend()
+        return _host_euler_throughput(vf, params, jax.random.fold_in(rng, 2))
     t0 = time.perf_counter()
     _ = float(run(params, jax.random.fold_in(rng, 1)))
     return BATCH / (time.perf_counter() - t0)
