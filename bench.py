@@ -444,7 +444,7 @@ def main():
     import subprocess
     import sys
 
-    for key in ("e2e", "dopri5", "unet", "t2i"):
+    for key in ("e2e", "unet", "t2i", "dopri5"):
         remaining = deadline - (time.time() - t_start)
         if remaining < 120:
             result[f"{key}_skipped"] = "bench deadline reached"
