@@ -130,10 +130,12 @@ def bench_quality(params, rng):
 
 def bench_dopri5(params, rng):
     """Reference eval-default solver (dopri5 rtol=atol=1e-5) on the bf16
-    LN-fused view, PI controller. Uses the host-driven loop
-    (core.solvers.odeint_adaptive_host): the axon tunnel's remote
-    compiler cannot take the full while_loop program at this model
-    scale, and the host loop costs one scalar fetch per step.
+    LN-fused view, PI controller. Uses the host-driven loop in
+    stage-dispatch mode (core.solvers.odeint_adaptive_host
+    program="stages"): the tunnel's remote compiler rejects not just the
+    full while_loop but even ONE fused RK step over this denoiser, so
+    the only big executable is the plain jit(vf) — stage combinations
+    run as tiny programs, one scalar fetch per controller iteration.
     Returns (img/s, nfe)."""
     from uspace_tpu.core import solvers
 
@@ -147,7 +149,7 @@ def bench_dopri5(params, rng):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
         x1, s = solvers.odeint_adaptive_host(
             vf, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
-            controller="pi", return_stats=True)
+            controller="pi", return_stats=True, program="stages")
         return float(x1.mean()), s["nfe"]
 
     _ = run(rng)  # compile + warm (one rk_step program)

@@ -193,6 +193,36 @@ class TestAdaptiveSolvers:
             np.testing.assert_allclose(np.asarray(xh), np.asarray(xd),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_stage_dispatch_matches_fused_host(self):
+        """program="stages" (per-stage dispatch; jit(vf) is the only
+        program containing the field — for compiler services that reject
+        even one fused RK step over a large denoiser) must take the same
+        steps as the fused host program and the device loop; values agree
+        to float-summation-order tolerance."""
+        def vf(t, x):
+            return jnp.stack([x[1], -25.0 * x[0]])
+
+        x0 = jnp.array([1.0, 0.0])
+        for method in ("dopri5", "adaptive_heun"):  # fsal and non-fsal
+            for ctrl in ("i", "pi"):
+                xf, sf = solvers.odeint_adaptive_host(
+                    vf, x0, 0.0, 1.0, method=method, rtol=1e-6, atol=1e-6,
+                    controller=ctrl, return_stats=True)
+                xs, ss = solvers.odeint_adaptive_host(
+                    vf, x0, 0.0, 1.0, method=method, rtol=1e-6, atol=1e-6,
+                    controller=ctrl, return_stats=True, program="stages")
+                assert sf["steps"] == ss["steps"], (method, ctrl)
+                assert sf["accepted"] == ss["accepted"], (method, ctrl)
+                np.testing.assert_allclose(np.asarray(xs), np.asarray(xf),
+                                           rtol=1e-5, atol=1e-6)
+
+    def test_stage_dispatch_via_solver_kwargs(self):
+        sk = {"solver": "adaptive", "solver_adaptive": "dopri5",
+              "driver": "host", "program": "stages", "rtol": 1e-6,
+              "atol": 1e-6}
+        x1 = solvers.odeint(_linear_vf(-1.0), jnp.ones((2,)), 0.0, 1.0, sk)
+        np.testing.assert_allclose(x1, np.exp(-1.0), rtol=1e-4)
+
     def test_stats_nfe_accounting(self):
         _, s = solvers.odeint_adaptive(_linear_vf(-1.0), jnp.ones((2,)),
                                        0.0, 1.0, return_stats=True)

@@ -341,6 +341,7 @@ def odeint_adaptive_host(
     pcoeff: float = 0.4,
     icoeff: float = 0.7,
     return_stats: bool = False,
+    program: str = "fused",
 ):
     """Host-driven twin of :func:`odeint_adaptive`: the embedded RK step
     (stage scan + error ratio) is ONE small jitted program invoked from a
@@ -353,6 +354,23 @@ def odeint_adaptive_host(
     remote_compile crashes on dopri5 over a 21-block denoiser), and a
     host loop costs only one scalar fetch per step. Not jittable as a
     whole — use the device loop inside larger compiled programs.
+
+    ``program`` selects how much of the step is fused into one
+    executable:
+
+    - ``"fused"`` (default): the full embedded step (stage scan + error
+      ratio) is one program — fewest dispatches, but the program still
+      contains the velocity field wrapped in a ``scan``/carry structure,
+      which some fragile compiler services reject even when the plain
+      field compiles.
+    - ``"stages"``: the ONLY program containing the velocity field is
+      ``jit(vf)`` itself; stage combinations, the error ratio, and the
+      initial-step heuristic run as tiny elementwise programs. All
+      dispatches are async (device work pipelines); the single
+      synchronization per iteration is the error-ratio fetch the
+      controller needs. Numerically identical update formulas (f32
+      contractions); float summation order differs from the scan
+      formulation at the ulp level.
     """
     tab = _TABLEAUS[method]
     n_stage = len(tab.c)
@@ -400,15 +418,82 @@ def odeint_adaptive_host(
                            tab.order, rtol, atol)
         return f0, h0
 
-    f, h0 = init_fn(x0)
+    if program == "stages":
+        # every t passed to vf is a STRONG f32 scalar (np.float32 or a
+        # device scalar) so all call sites share one compiled executable
+        @jax.jit
+        def lin_comb(x, hs, w, ks):
+            stk = jax.tree.map(lambda *xs: jnp.stack(xs), *ks)
+            return jax.tree.map(lambda a, b: a + hs * b, x,
+                                _contract(w, stk))
+
+        @jax.jit
+        def finish(x, hs, ks):
+            stk = jax.tree.map(lambda *xs: jnp.stack(xs), *ks)
+            x_new = jax.tree.map(lambda a, b: a + hs * b, x,
+                                 _contract(b_high, stk))
+            err = jax.tree.map(lambda e: hs * e, _contract(b_err, stk))
+            return x_new, _error_ratio(err, x, x_new, rtol, atol)
+
+        @jax.jit
+        def init_h0(x0, f0):
+            sc = jax.tree.map(lambda a: atol + rtol * jnp.abs(a), x0)
+            d0 = _rms_norm(jax.tree.map(lambda a, s: a / s, x0, sc))
+            d1 = _rms_norm(jax.tree.map(lambda a, s: a / s, f0, sc))
+            h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+            return h0, d1
+
+        @jax.jit
+        def probe_x(x0, f0, h0):
+            return jax.tree.map(
+                lambda a, b: a + direction * h0 * b, x0, f0)
+
+        @jax.jit
+        def init_h1(x0, f0, f1, h0, d1):
+            sc = jax.tree.map(lambda a: atol + rtol * jnp.abs(a), x0)
+            d2 = _rms_norm(jax.tree.map(
+                lambda a, b, s: (a - b) / s, f1, f0, sc)) / h0
+            h1 = jnp.where(
+                jnp.maximum(d1, d2) <= 1e-15,
+                jnp.maximum(1e-6, h0 * 1e-3),
+                (0.01 / jnp.maximum(d1, d2)) ** (1.0 / tab.order))
+            return jnp.minimum(100.0 * h0, h1)
+
+        def init_host(x0):
+            # the Hairer heuristic as vf calls + tiny programs (matches
+            # _initial_step term for term)
+            f0 = vf(np.float32(t0), x0)
+            h0, d1 = init_h0(x0, f0)
+            f1 = vf(jnp.float32(t0) + jnp.float32(direction) * h0,
+                    probe_x(x0, f0, h0))
+            return f0, init_h1(x0, f0, f1, h0, d1)
+
+        def rk_host(t, x, f_first, h):
+            """One embedded step; ONLY jit(vf) contains the field."""
+            hs = np.float32(h * direction)
+            ks = [f_first] * n_stage  # zero tableau weights mask j >= i
+            for i in range(1, n_stage):
+                xi = lin_comb(x, hs, A[i], tuple(ks))
+                ks[i] = vf(np.float32(t + tab.c[i] * h * direction), xi)
+            x_new, ratio = finish(x, hs, tuple(ks))
+            f_last = (ks[-1] if tab.fsal
+                      else vf(np.float32(t + h * direction), x_new))
+            return x_new, f_last, ratio
+    else:
+        def init_host(x0):
+            return init_fn(x0)
+
+        def rk_host(t, x, f_first, h):
+            return rk_step(jnp.float32(t), x, f_first, jnp.float32(h))
+
+    f, h0 = init_host(x0)
     h = float(h0)
     t, x = float(t0), x0
     r_prev = 1.0
     n = n_acc = 0
     while n < max_steps and direction * (t1 - t) > 1e-8:
         h_step = min(h, abs(t1 - t))
-        x_new, f_last, ratio = rk_step(
-            jnp.float32(t), x, f, jnp.float32(h_step))
+        x_new, f_last, ratio = rk_host(t, x, f, h_step)
         ratio = max(float(ratio), 1e-10)
         accept = ratio <= 1.0
         if controller == "pi":
@@ -472,9 +557,13 @@ def odeint(
     if has_aux:
         raise ValueError("activation capture requires a fixed-step solver")
     if kind == "adaptive":
-        fn = (odeint_adaptive_host if sk.get("driver") == "host"
-              else odeint_adaptive)
-        return fn(
+        if sk.get("driver") == "host":
+            return odeint_adaptive_host(
+                vf, x0, t0, t1, method=sk.get("solver_adaptive", "dopri5"),
+                rtol=rtol, atol=atol, controller=controller,
+                program=sk.get("program", "fused"),
+            )
+        return odeint_adaptive(
             vf, x0, t0, t1, method=sk.get("solver_adaptive", "dopri5"),
             rtol=rtol, atol=atol, controller=controller,
         )
