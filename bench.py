@@ -464,11 +464,12 @@ def main():
                 remaining = deadline - (time.time() - t_start)
                 if remaining < 120:
                     break
+                cap = 1200.0 if key == "t2i" else 900.0  # cold t2i trace
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--section", key],
                     capture_output=True, text=True,
-                    timeout=min(remaining, 900.0))
+                    timeout=min(remaining, cap))
                 frag = None
                 for line in proc.stdout.splitlines():
                     if line.startswith("SECTION_RESULT "):
