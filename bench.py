@@ -141,15 +141,18 @@ def bench_dopri5(params, rng):
 
     model = _uvit(attn_impl="pallas_lnmlp")
 
-    def vf(t, x):
+    def vf(t, x, p):
+        # params as an explicit argument: a closure would bake the 1.4GB
+        # tree into the executable payload and crash the compile service
         tb = jnp.full((BATCH,), t, jnp.float32)
-        return model.apply(params, x, tb)[0].astype(jnp.float32)
+        return model.apply(p, x, tb)[0].astype(jnp.float32)
 
     def run(rng):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
         x1, s = solvers.odeint_adaptive_host(
             vf, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
-            controller="pi", return_stats=True, program="stages")
+            controller="pi", return_stats=True, program="stages",
+            vf_params=params)
         return float(x1.mean()), s["nfe"]
 
     _ = run(rng)  # compile + warm (one rk_step program)
@@ -189,14 +192,17 @@ def _host_euler_throughput(vf, params, rng):
     """Fallback timing path: ONE jitted Euler step dispatched STEPS times
     from the host (async dispatch pipelines on device; one fetch at the
     end). Step-for-step identical to the `lax.scan` program, but the
-    compiled program is a single forward — the tunnel's compile service
-    handles those reliably even when it crashes on the scan-of-50."""
+    compiled program is a single forward with params as an explicit
+    ARGUMENT (``vf(t_batch, x, params)``) — closure-captured param trees
+    get baked into the executable payload, which is what crashes the
+    tunnel's compile service on the big samplers."""
     dt = 1.0 / STEPS
 
     @jax.jit
     def one(params, x, i):
         t = i.astype(jnp.float32) * dt
-        return x + dt * vf(jnp.full((x.shape[0],), t, jnp.float32), x)
+        return x + dt * vf(jnp.full((x.shape[0],), t, jnp.float32), x,
+                           params)
 
     def run(rng):
         x = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
@@ -223,17 +229,30 @@ def bench_t2i(rng):
     ctx0 = jnp.zeros((1, 77, 768), jnp.float32)
     params = jax.jit(model.init)(rng, x0, jnp.zeros((1,)), ctx0)
     ctx = jax.random.normal(rng, (BATCH, 77, 768), jnp.float32)
-    vf = cfg_velocity_fn(model, params, {"context": ctx},
-                         {"context": jnp.zeros_like(ctx)}, 2.0)
+
+    def vf_p(tb, x, p):
+        """Fused-2B CFG field with params explicit (closure-free of the
+        1.4GB tree; the 13MB ctx closure is fine — measured)."""
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([tb, tb], axis=0)
+        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
+        v2 = model.apply(p, x2, t2, ctx2)[0]
+        v_c, v_u = jnp.split(v2, 2, axis=0)
+        return v_u + 2.0 * (v_c - v_u)
 
     import os
 
     if os.environ.get("JAX_PLATFORMS") == "axon":
-        # the scan-of-50 CFG program crashes the tunnel's compile
-        # service, and a failed attempt costs a full client-side trace
-        # (~10 min) before the crash — go straight to the host-stepped
-        # twin there; real TPU backends take the compiled-loop path
-        return _host_euler_throughput(vf, params, jax.random.fold_in(rng, 2))
+        # the scan-of-50 CFG program (with the params tree baked in via
+        # the cfg_velocity_fn closure) crashes the tunnel's compile
+        # service after a ~10-min trace — go straight to the
+        # params-as-argument host-stepped twin; real TPU backends take
+        # the compiled-loop path below
+        return _host_euler_throughput(vf_p, params,
+                                      jax.random.fold_in(rng, 2))
+
+    vf = cfg_velocity_fn(model, params, {"context": ctx},
+                         {"context": jnp.zeros_like(ctx)}, 2.0)
 
     @jax.jit
     def run(params, rng):
@@ -245,7 +264,8 @@ def bench_t2i(rng):
     except Exception:
         # intermittent compile-service crash: recover, host-stepped twin
         _wait_backend()
-        return _host_euler_throughput(vf, params, jax.random.fold_in(rng, 2))
+        return _host_euler_throughput(vf_p, params,
+                                      jax.random.fold_in(rng, 2))
     t0 = time.perf_counter()
     _ = float(run(params, jax.random.fold_in(rng, 1)))
     return BATCH / (time.perf_counter() - t0)

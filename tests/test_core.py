@@ -216,6 +216,30 @@ class TestAdaptiveSolvers:
                 np.testing.assert_allclose(np.asarray(xs), np.asarray(xf),
                                            rtol=1e-5, atol=1e-6)
 
+    def test_host_driver_vf_params_threading(self):
+        """vf_params must reach the field as an explicit argument (the
+        closure-capture alternative bakes multi-GB param trees into the
+        executable payload — the root cause of the tunnel's compile
+        crashes) and reproduce the closure-based solve exactly."""
+        w = jnp.asarray([[0.0, 1.0], [-25.0, 0.0]], jnp.float32)
+        x0 = jnp.array([1.0, 0.0])
+
+        def vf_closure(t, x):
+            return w @ x
+
+        def vf_arg(t, x, p):
+            return p["w"] @ x
+
+        for program in ("fused", "stages"):
+            xc, sc = solvers.odeint_adaptive_host(
+                vf_closure, x0, 0.0, 1.0, rtol=1e-6, atol=1e-6,
+                return_stats=True, program=program)
+            xa, sa = solvers.odeint_adaptive_host(
+                vf_arg, x0, 0.0, 1.0, rtol=1e-6, atol=1e-6,
+                return_stats=True, program=program, vf_params={"w": w})
+            assert sc["steps"] == sa["steps"]
+            np.testing.assert_array_equal(np.asarray(xc), np.asarray(xa))
+
     def test_stage_dispatch_via_solver_kwargs(self):
         sk = {"solver": "adaptive", "solver_adaptive": "dopri5",
               "driver": "host", "program": "stages", "rtol": 1e-6,

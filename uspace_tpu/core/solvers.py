@@ -342,6 +342,7 @@ def odeint_adaptive_host(
     icoeff: float = 0.7,
     return_stats: bool = False,
     program: str = "fused",
+    vf_params: Any = None,
 ):
     """Host-driven twin of :func:`odeint_adaptive`: the embedded RK step
     (stage scan + error ratio) is ONE small jitted program invoked from a
@@ -371,6 +372,14 @@ def odeint_adaptive_host(
       controller needs. Numerically identical update formulas (f32
       contractions); float summation order differs from the scan
       formulation at the ulp level.
+
+    ``vf_params``: optional parameter pytree threaded through every
+    compiled program as an explicit ARGUMENT; when given, the field is
+    called as ``vf(t, x, vf_params)``. A top-level host driver cannot
+    rely on closure capture at scale: closed-over concrete arrays are
+    baked into the executable payload, and a multi-GB parameter tree in
+    the program body is exactly what fragile remote-compile services
+    choke on (pass-as-argument programs of the same model compile fine).
     """
     tab = _TABLEAUS[method]
     n_stage = len(tab.c)
@@ -383,7 +392,10 @@ def odeint_adaptive_host(
     b_err = jnp.asarray(tab.b_err, jnp.float32)
     direction = 1.0 if t1 >= t0 else -1.0
 
-    vf = jax.jit(vf)
+    # normalize the field to vf(t, x, p) with p an explicit ARGUMENT of
+    # every compiled program (see ``vf_params`` in the docstring)
+    vfj = (jax.jit(lambda t, x, p: vf(t, x)) if vf_params is None
+           else jax.jit(vf))
 
     def _contract(w, ks):
         return jax.tree.map(
@@ -391,7 +403,7 @@ def odeint_adaptive_host(
                                      ).astype(kk.dtype), ks)
 
     @jax.jit
-    def rk_step(t, x, f_first, h):
+    def rk_step(t, x, f_first, h, p):
         hs = h * direction
         ks0 = jax.tree.map(
             lambda f: jnp.zeros((n_stage,) + f.shape, f.dtype).at[0].set(f),
@@ -399,7 +411,7 @@ def odeint_adaptive_host(
 
         def stage(ks, i):
             xi = jax.tree.map(lambda a, b: a + hs * b, x, _contract(A[i], ks))
-            ki = vf(t + c_nodes[i] * hs, xi)
+            ki = vfj(t + c_nodes[i] * hs, xi, p)
             return jax.tree.map(lambda kk, kn: kk.at[i].set(kn), ks, ki), None
 
         ks, _ = lax.scan(stage, ks0, jnp.arange(1, n_stage))
@@ -407,15 +419,15 @@ def odeint_adaptive_host(
                              _contract(b_high, ks))
         err = jax.tree.map(lambda e: hs * e, _contract(b_err, ks))
         f_last = (jax.tree.map(lambda kk: kk[-1], ks) if tab.fsal
-                  else vf(t + hs, x_new))
+                  else vfj(t + hs, x_new, p))
         ratio = _error_ratio(err, x, x_new, rtol, atol)
         return x_new, f_last, ratio
 
     @jax.jit
-    def init_fn(x0):
-        f0 = vf(jnp.float32(t0), x0)
-        h0 = _initial_step(vf, jnp.float32(t0), x0, f0, direction,
-                           tab.order, rtol, atol)
+    def init_fn(x0, p):
+        f0 = vfj(jnp.float32(t0), x0, p)
+        h0 = _initial_step(lambda t, x: vfj(t, x, p), jnp.float32(t0), x0,
+                           f0, direction, tab.order, rtol, atol)
         return f0, h0
 
     if program == "stages":
@@ -462,10 +474,10 @@ def odeint_adaptive_host(
         def init_host(x0):
             # the Hairer heuristic as vf calls + tiny programs (matches
             # _initial_step term for term)
-            f0 = vf(np.float32(t0), x0)
+            f0 = vfj(np.float32(t0), x0, vf_params)
             h0, d1 = init_h0(x0, f0)
-            f1 = vf(jnp.float32(t0) + jnp.float32(direction) * h0,
-                    probe_x(x0, f0, h0))
+            f1 = vfj(jnp.float32(t0) + jnp.float32(direction) * h0,
+                     probe_x(x0, f0, h0), vf_params)
             return f0, init_h1(x0, f0, f1, h0, d1)
 
         def rk_host(t, x, f_first, h):
@@ -474,17 +486,20 @@ def odeint_adaptive_host(
             ks = [f_first] * n_stage  # zero tableau weights mask j >= i
             for i in range(1, n_stage):
                 xi = lin_comb(x, hs, A[i], tuple(ks))
-                ks[i] = vf(np.float32(t + tab.c[i] * h * direction), xi)
+                ks[i] = vfj(np.float32(t + tab.c[i] * h * direction), xi,
+                            vf_params)
             x_new, ratio = finish(x, hs, tuple(ks))
             f_last = (ks[-1] if tab.fsal
-                      else vf(np.float32(t + h * direction), x_new))
+                      else vfj(np.float32(t + h * direction), x_new,
+                               vf_params))
             return x_new, f_last, ratio
     else:
         def init_host(x0):
-            return init_fn(x0)
+            return init_fn(x0, vf_params)
 
         def rk_host(t, x, f_first, h):
-            return rk_step(jnp.float32(t), x, f_first, jnp.float32(h))
+            return rk_step(jnp.float32(t), x, f_first, jnp.float32(h),
+                           vf_params)
 
     f, h0 = init_host(x0)
     h = float(h0)
