@@ -88,10 +88,13 @@ def build_session(config) -> Tuple[DissectSession, object]:
             scale_factor=config.autoencoder.get("scale_factor", 0.18215)
         )
         vparams = {"params": vae_torch_to_flax(load_torch_checkpoint(vae_path))}
-        vae_decode = jax.jit(
-            lambda z: vae.apply(vparams, z, method=vae.decode))
-        vae_sample = jax.jit(
-            lambda m, rng: vae.apply(vparams, m, rng, method=vae.sample))
+        # params as explicit jit arguments (closure capture bakes the
+        # tree into the executable payload)
+        _dec = jax.jit(lambda p, z: vae.apply(p, z, method=vae.decode))
+        _smp = jax.jit(lambda p, m, rng: vae.apply(p, m, rng,
+                                                   method=vae.sample))
+        vae_decode = lambda z: _dec(vparams, z)
+        vae_sample = lambda m, rng: _smp(vparams, m, rng)
 
     session = DissectSession(
         model, params,

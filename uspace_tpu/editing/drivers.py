@@ -177,12 +177,16 @@ class DissectSession:
         )
 
         @jax.jit
-        def one_scale(scale):
+        def one_scale(params, scale):
+            # params as an explicit argument: closure capture would bake
+            # the tree into the executable (compile-payload bloat; fatal
+            # on remote-compile backends at production model sizes)
             e = edit0.replace(scale=scale)
-            vf = self._vf(cond or {}, edit=e)
+            vf = make_velocity_fn(self.model, params, cond or {}, edit=e)
             return flow.decode(vf, z, self.solver_kwargs)
 
-        outs = [one_scale(jnp.float32(s)) for s in write_scales]
+        outs = [one_scale(self.params, jnp.float32(s))
+                for s in write_scales]
         return jnp.stack(outs)
 
     # -- correctness probes ---------------------------------------------------

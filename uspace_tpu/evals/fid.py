@@ -66,7 +66,10 @@ class InceptionFeaturizer:
 
         sd = torch.load(path, map_location="cpu", weights_only=True)
         self.params = {"params": inception_torch_to_flax(sd)}
-        self._fn = jax.jit(lambda imgs: self.model.apply(self.params, imgs))
+        # params as an explicit jit argument (closure capture bakes the
+        # tree into the executable payload)
+        _fwd = jax.jit(lambda p, imgs: self.model.apply(p, imgs))
+        self._fn = lambda imgs: _fwd(self.params, imgs)
 
     def __call__(self, images01, batch_size: int = 50) -> np.ndarray:
         """images01: [N, H, W, 3] float in [0, 1] (array or lazy per-image

@@ -126,6 +126,7 @@ class Experiment:
         self._train_step = None
         self._vae = None
         self._vae_params = None
+        self._sample_fns = {}
 
     def _init_args(self, z_hwc):
         x = jnp.zeros((1, *z_hwc), jnp.float32)
@@ -186,9 +187,10 @@ class Experiment:
             if path and os.path.exists(path):
                 sd = load_torch_checkpoint(path)
                 self._vae_params = {"params": vae_torch_to_flax(sd)}
-                self._vae = jax.jit(
-                    lambda z: vae.apply(self._vae_params, z, method=vae.decode)
-                )
+                # params as an explicit jit argument (closure capture
+                # bakes them into the executable payload)
+                dec = jax.jit(lambda p, z: vae.apply(p, z, method=vae.decode))
+                self._vae = lambda z: dec(self._vae_params, z)
             else:
                 self._vae = False
         return self._vae
@@ -214,18 +216,37 @@ class Experiment:
                        cond: Optional[Dict] = None,
                        sample_steps: Optional[int] = None) -> Array:
         from ..core import flow
+        from ..evals.sampling import cfg_velocity_fn
 
         z = jax.random.normal(rng, (n, *z_shape_hwc(self.config)))
         cfg_scale = float(self.config.sample.get("cfg_scale", 0.0) or 0.0)
         cond = cond or {}
-        if cfg_scale > 0 and cond:
-            from ..evals.sampling import cfg_velocity_fn
+        sk = self.solver_kwargs(sample_steps)
+        use_cfg = cfg_scale > 0 and bool(cond)
+        null = self.null_cond(cond) if use_cfg else {}
+        if sk.get("driver") == "host":
+            # host-driven adaptive solve: a Python loop, not jittable —
+            # eager path (odeint threads nothing big; tunnel-scale use
+            # goes through solvers.odeint_adaptive_host directly)
+            vf = (cfg_velocity_fn(self.model, params, cond, null, cfg_scale)
+                  if use_cfg else make_velocity_fn(self.model, params, cond))
+            return flow.decode(vf, z, sk)
+        # ONE cached jitted program per (solver, cfg, cond-keys) with
+        # params/z/cond as explicit arguments: no re-trace per eval, no
+        # param tree baked into the executable payload
+        key = (tuple(sorted((k, repr(v)) for k, v in sk.items())),
+               use_cfg and cfg_scale, tuple(sorted(cond)))
+        fn = self._sample_fns.get(key)
+        if fn is None:
+            def sample_fn(params, z, cond, null):
+                vf = (cfg_velocity_fn(self.model, params, cond, null,
+                                      cfg_scale)
+                      if use_cfg
+                      else make_velocity_fn(self.model, params, cond))
+                return flow.decode(vf, z, sk)
 
-            vf = cfg_velocity_fn(self.model, params, cond,
-                                 self.null_cond(cond), cfg_scale)
-        else:
-            vf = make_velocity_fn(self.model, params, cond)
-        return flow.decode(vf, z, self.solver_kwargs(sample_steps))
+            fn = self._sample_fns[key] = jax.jit(sample_fn)
+        return fn(params, z, cond, null)
 
     def null_cond(self, cond: Dict[str, Any]) -> Dict[str, Any]:
         """Null conditioning for CFG: the dataset's empty CLIP context
