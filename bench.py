@@ -130,13 +130,14 @@ def bench_quality(params, rng):
 
 def bench_dopri5(params, rng):
     """Reference eval-default solver (dopri5 rtol=atol=1e-5) on the bf16
-    LN-fused view, PI controller. Uses the host-driven loop in
-    stage-dispatch mode (core.solvers.odeint_adaptive_host
-    program="stages"): the tunnel's remote compiler rejects not just the
-    full while_loop but even ONE fused RK step over this denoiser, so
-    the only big executable is the plain jit(vf) — stage combinations
-    run as tiny programs, one scalar fetch per controller iteration.
-    Returns (img/s, nfe)."""
+    LN-fused view, PI controller. Uses the host-driven loop with the
+    ON-DEVICE controller (core.solvers.odeint_adaptive_host
+    program="stages_device"): the tunnel's remote compiler rejects not
+    just the full while_loop but even ONE fused RK step over this
+    denoiser, so the only big executable is the plain jit(vf); the
+    controller state advances in tiny programs and the timed run
+    blind-dispatches the warmup's step count (no per-iteration fetch —
+    fixed-step-like pipelining). Returns (img/s, nfe)."""
     from uspace_tpu.core import solvers
 
     model = _uvit(attn_impl="pallas_lnmlp")
@@ -147,19 +148,19 @@ def bench_dopri5(params, rng):
         tb = jnp.full((BATCH,), t, jnp.float32)
         return model.apply(p, x, tb)[0].astype(jnp.float32)
 
-    def run(rng):
+    def run(rng, expected=None):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
         x1, s = solvers.odeint_adaptive_host(
             vf, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
-            controller="pi", return_stats=True, program="stages",
-            vf_params=params)
-        return float(x1.mean()), s["nfe"]
+            controller="pi", return_stats=True, program="stages_device",
+            vf_params=params, expected_steps=expected)
+        return float(x1.mean()), s
 
-    _ = run(rng)  # compile + warm (one rk_step program)
+    _, s = run(rng)  # compile + warm; learns the step count
     t0 = time.perf_counter()
-    _, nfe = run(jax.random.fold_in(rng, 1))
+    _, s = run(jax.random.fold_in(rng, 1), expected=s["steps"])
     dt = time.perf_counter() - t0
-    return BATCH / dt, int(nfe)
+    return BATCH / dt, int(s["nfe"])
 
 
 def bench_e2e(params, rng):

@@ -240,6 +240,40 @@ class TestAdaptiveSolvers:
             assert sc["steps"] == sa["steps"]
             np.testing.assert_array_equal(np.asarray(xc), np.asarray(xa))
 
+    def test_stages_device_matches_device_loop(self):
+        """program="stages_device" (on-device f32 controller advanced by
+        tiny programs; host dispatches attempts blindly) must reproduce
+        the device while_loop's step sequence, and an expected_steps
+        blind-dispatch run must be an exact no-op-padded twin."""
+        def vf(t, x):
+            return jnp.stack([x[1], -25.0 * x[0]])
+
+        x0 = jnp.array([1.0, 0.0])
+        for method in ("dopri5", "adaptive_heun"):
+            for ctrl in ("i", "pi"):
+                xd, sd = solvers.odeint_adaptive(
+                    vf, x0, 0.0, 1.0, method=method, rtol=1e-6, atol=1e-6,
+                    controller=ctrl, return_stats=True)
+                xs, ss = solvers.odeint_adaptive_host(
+                    vf, x0, 0.0, 1.0, method=method, rtol=1e-6, atol=1e-6,
+                    controller=ctrl, return_stats=True,
+                    program="stages_device")
+                assert int(sd["steps"]) == ss["steps"], (method, ctrl)
+                assert int(sd["accepted"]) == ss["accepted"], (method, ctrl)
+                np.testing.assert_allclose(np.asarray(xs), np.asarray(xd),
+                                           rtol=1e-5, atol=1e-6)
+                # blind dispatch with a deliberate overestimate: no-op
+                # attempts past t1 must not change the result or stats
+                xb, sb = solvers.odeint_adaptive_host(
+                    vf, x0, 0.0, 1.0, method=method, rtol=1e-6, atol=1e-6,
+                    controller=ctrl, return_stats=True,
+                    program="stages_device",
+                    expected_steps=ss["steps"] + 5)
+                assert sb["steps"] == ss["steps"]
+                assert sb["accepted"] == ss["accepted"]
+                np.testing.assert_array_equal(np.asarray(xb),
+                                              np.asarray(xs))
+
     def test_stage_dispatch_via_solver_kwargs(self):
         sk = {"solver": "adaptive", "solver_adaptive": "dopri5",
               "driver": "host", "program": "stages", "rtol": 1e-6,

@@ -325,6 +325,95 @@ def odeint_adaptive(
     return x_final
 
 
+def _stages_device_loop(vfj, vf_params, x0, t0, t1, direction, tab, A,
+                        b_high, b_err, rtol, atol, max_steps, safety,
+                        ifactor, dfactor, controller, pcoeff, icoeff,
+                        return_stats, expected_steps, _contract, init_host):
+    """``program="stages_device"``: the controller state (t, h, ratio,
+    x, f, counters) lives ON DEVICE and is advanced by a tiny jitted
+    update program, so the host can dispatch whole step attempts BLINDLY
+    — no per-iteration scalar fetch. Synchronization happens only when
+    the host needs to know whether t reached t1: with
+    ``expected_steps`` (e.g. from a warmup solve's stats) the first
+    ``expected_steps`` attempts are fire-and-forget and only the tail
+    polls, giving fixed-step-like pipelining on high-latency backends.
+
+    Attempts past t1 are EXACT no-ops (the clamped step size hits 0:
+    x/t/h unchanged, the accept counter gated on h_step > 0), so an
+    overestimated ``expected_steps`` costs wasted field evaluations but
+    never correctness. The controller math is the f32 on-device twin of
+    :func:`odeint_adaptive`'s while_loop body."""
+    n_stage = len(tab.c)
+    c_nodes = jnp.asarray(tab.c, jnp.float32)
+    dirf = jnp.float32(direction)
+
+    @jax.jit
+    def dev_pre(t, h):
+        return jnp.minimum(h, jnp.abs(jnp.float32(t1) - t))
+
+    @jax.jit
+    def dev_stage(x, t, h_step, w, ci, ks):
+        hs = h_step * dirf
+        stk = jax.tree.map(lambda *xs: jnp.stack(xs), *ks)
+        xi = jax.tree.map(lambda a, b: a + hs * b, x, _contract(w, stk))
+        return xi, t + ci * hs
+
+    @jax.jit
+    def dev_update(t, h, r_prev, n_d, n_acc, x, f, h_step, ks):
+        hs = h_step * dirf
+        stk = jax.tree.map(lambda *xs: jnp.stack(xs), *ks)
+        x_new = jax.tree.map(lambda a, b: a + hs * b, x,
+                             _contract(b_high, stk))
+        err = jax.tree.map(lambda e: hs * e, _contract(b_err, stk))
+        ratio = jnp.maximum(_error_ratio(err, x, x_new, rtol, atol), 1e-10)
+        live = h_step > 0  # attempts past t1 are no-ops
+        accept = (ratio <= 1.0) & live
+        if controller == "pi":
+            factor = safety * jnp.power(ratio, -icoeff / tab.order) \
+                * jnp.power(r_prev, pcoeff / tab.order)
+        else:
+            factor = safety * jnp.power(ratio, -1.0 / tab.order)
+        h_next = h_step * jnp.clip(factor, dfactor, ifactor)
+        t_next = jnp.where(accept, t + hs, t)
+        x_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), x, x_new)
+        r_next = jnp.where(accept, ratio, r_prev)
+        f_stage = jax.tree.map(lambda kk: kk[-1], stk)  # fsal last stage
+        f_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a),
+                              f, f_stage)
+        return (t_next, h_next, r_next, n_d + live.astype(jnp.int32),
+                n_acc + accept.astype(jnp.int32), x_next, f_next, x_new)
+
+    f, h = init_host(x0)
+    t = jnp.float32(t0)
+    r = jnp.float32(1.0)
+    n_d = n_acc = jnp.int32(0)
+    x = x0
+    n = 0
+    blind = 0 if expected_steps is None else max(0, int(expected_steps))
+    while n < max_steps:
+        if n >= blind and float(direction * (t1 - float(t))) <= 1e-8:
+            break
+        h_step = dev_pre(t, h)
+        ks = [f] * n_stage
+        for i in range(1, n_stage):
+            xi, ti = dev_stage(x, t, h_step, A[i], c_nodes[i], ks)
+            ks[i] = vfj(ti, xi, vf_params)
+        t, h, r, n_d, n_acc, x, f, x_new = dev_update(
+            t, h, r, n_d, n_acc, x, f, h_step, tuple(ks))
+        if not tab.fsal:
+            # recompute f at (t, x): identical to the accepted f_last on
+            # accept, and a value-preserving refresh on reject
+            f = vfj(t, x, vf_params)
+        n += 1
+    if return_stats:
+        per_step = n_stage - 1 if tab.fsal else n_stage
+        steps = int(n_d)
+        stats = {"steps": steps, "accepted": int(n_acc),
+                 "nfe": 2 + per_step * steps}
+        return x, stats
+    return x
+
+
 def odeint_adaptive_host(
     vf: Callable,
     x0: Any,
@@ -343,6 +432,7 @@ def odeint_adaptive_host(
     return_stats: bool = False,
     program: str = "fused",
     vf_params: Any = None,
+    expected_steps: Optional[int] = None,
 ):
     """Host-driven twin of :func:`odeint_adaptive`: the embedded RK step
     (stage scan + error ratio) is ONE small jitted program invoked from a
@@ -430,7 +520,7 @@ def odeint_adaptive_host(
                            f0, direction, tab.order, rtol, atol)
         return f0, h0
 
-    if program == "stages":
+    if program in ("stages", "stages_device"):
         # every t passed to vf is a STRONG f32 scalar (np.float32 or a
         # device scalar) so all call sites share one compiled executable
         @jax.jit
@@ -493,6 +583,13 @@ def odeint_adaptive_host(
                       else vfj(np.float32(t + h * direction), x_new,
                                vf_params))
             return x_new, f_last, ratio
+
+        if program == "stages_device":
+            return _stages_device_loop(
+                vfj, vf_params, x0, t0, t1, direction, tab, A, b_high,
+                b_err, rtol, atol, max_steps, safety, ifactor, dfactor,
+                controller, pcoeff, icoeff, return_stats, expected_steps,
+                _contract, init_host)
     else:
         def init_host(x0):
             return init_fn(x0, vf_params)
