@@ -387,7 +387,12 @@ def run_section(key):
             bench_e2e(params, jax.random.fold_in(rng, 5)), 2)}
     elif key == "dopri5":
         ips, nfe = bench_dopri5(params, jax.random.fold_in(rng, 4))
-        out = {"dopri5_imgs_per_sec": round(ips, 2), "dopri5_nfe": nfe}
+        out = {"dopri5_imgs_per_sec": round(ips, 2), "dopri5_nfe": nfe,
+               # the Euler-50 baseline scaled to this solve's NFE: the
+               # adaptive solver does nfe/50 x the field work per image,
+               # so per-NFE throughput is the like-for-like comparison
+               "dopri5_vs_baseline_equal_nfe": round(
+                   ips / (BASELINE_A100_IMG_PER_SEC * STEPS / nfe), 3)}
     elif key == "t2i":
         out = {"t2i_imgs_per_sec": round(
             bench_t2i(jax.random.fold_in(rng, 6)), 2)}
