@@ -130,8 +130,10 @@ def bench_quality(params, rng):
 
 def bench_dopri5(params, rng):
     """Reference eval-default solver (dopri5 rtol=atol=1e-5) on the bf16
-    LN-fused view, PI controller. Uses the host-driven loop with the
-    ON-DEVICE controller (core.solvers.odeint_adaptive_host
+    LN-fused view, classic I controller (torchdiffeq's rule; measured
+    NFE 110 vs 200 for PI on this field — the PI damping slows step
+    growth on a smooth flow with zero rejections). Uses the host-driven
+    loop with the ON-DEVICE controller (core.solvers.odeint_adaptive_host
     program="stages_device"): the tunnel's remote compiler rejects not
     just the full while_loop but even ONE fused RK step over this
     denoiser, so the only big executable is the plain jit(vf); the
@@ -152,7 +154,7 @@ def bench_dopri5(params, rng):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
         x1, s = solvers.odeint_adaptive_host(
             vf, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
-            controller="pi", return_stats=True, program="stages_device",
+            controller="i", return_stats=True, program="stages_device",
             vf_params=params, expected_steps=expected)
         return float(x1.mean()), s
 
