@@ -226,10 +226,11 @@ def odeint_adaptive(
     proportional-integral rule ``h *= safety * ratio^(-icoeff/order) *
     ratio_prev^(pcoeff/order)`` (ratio_prev from the last *accepted*
     step). Same acceptance test — the solution still satisfies the
-    tolerance — but the damped step-size dynamics cut rejected steps
-    substantially on smooth flow-matching fields (the sampler's dopri5
-    NFE drops; see bench.py). torchdiffeq has no PI option; this is
-    TPU-side headroom at identical accuracy semantics.
+    tolerance. PI damps the step-size dynamics: it cuts rejections on
+    stiff-ish error histories, but on a smooth flow with zero
+    rejections the damping also slows step GROWTH (measured on the
+    U-ViT-large field: NFE 200 vs 110 for the classic I rule — bench.py
+    uses "i"). torchdiffeq has no PI option; pick per field.
 
     ``return_stats=True`` also returns ``{"steps", "accepted", "nfe"}``
     (nfe counts actual vf evaluations, including the 2 spent by the
