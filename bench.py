@@ -129,17 +129,15 @@ def bench_quality(params, rng):
 
 
 def bench_dopri5(params, rng):
-    """Reference eval-default solver (dopri5 rtol=atol=1e-5) on the bf16
-    LN-fused view, classic I controller (torchdiffeq's rule; measured
-    NFE 110 vs 200 for PI on this field — the PI damping slows step
-    growth on a smooth flow with zero rejections). Uses the host-driven
-    loop with the ON-DEVICE controller (core.solvers.odeint_adaptive_host
-    program="stages_device"): the tunnel's remote compiler rejects not
-    just the full while_loop but even ONE fused RK step over this
-    denoiser, so the only big executable is the plain jit(vf); the
-    controller state advances in tiny programs and the timed run
-    blind-dispatches the warmup's step count (no per-iteration fetch —
-    fixed-step-like pipelining). Returns (img/s, nfe)."""
+    """Reference eval-default solver (dopri5 rtol=atol=1e-5,
+    torchdiffeq's classic I controller/safety) on the bf16 LN-fused
+    view. Primary path: the fully-compiled on-device ``lax.while_loop``
+    (core.solvers.odeint_adaptive) with params as explicit jit arguments
+    — closure-captured params were what crashed the tunnel's compile
+    service on this program historically. Fallback (service still
+    rejects it): the host-driven loop with the ON-DEVICE controller
+    (program="stages_device"), blind-dispatching the warmup's step count
+    so there is no per-iteration fetch. Returns (img/s, nfe)."""
     from uspace_tpu.core import solvers
 
     model = _uvit(attn_impl="pallas_lnmlp")
@@ -149,6 +147,24 @@ def bench_dopri5(params, rng):
         # tree into the executable payload and crash the compile service
         tb = jnp.full((BATCH,), t, jnp.float32)
         return model.apply(p, x, tb)[0].astype(jnp.float32)
+
+    @jax.jit
+    def run_device(p, rng):
+        z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
+        x1, s = solvers.odeint_adaptive(
+            lambda t, x: vf(t, x, p), z, 0.0, 1.0, method="dopri5",
+            rtol=1e-5, atol=1e-5, controller="i", return_stats=True)
+        return x1.mean(), s["nfe"]
+
+    try:
+        out, nfe = run_device(params, rng)
+        _ = float(out)  # compile + warm
+        t0 = time.perf_counter()
+        out, nfe = run_device(params, jax.random.fold_in(rng, 1))
+        _ = float(out)
+        return BATCH / (time.perf_counter() - t0), int(nfe)
+    except Exception:
+        _wait_backend()
 
     def run(rng, expected=None):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
