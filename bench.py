@@ -431,7 +431,7 @@ def main():
     # headline line must always be printed (it is emitted first; the
     # driver takes the LAST JSON line, so a kill mid-extras still
     # leaves a valid result)
-    deadline = float(os.environ.get("USPACE_BENCH_DEADLINE", 2700))
+    deadline = float(os.environ.get("USPACE_BENCH_DEADLINE", 4200))
     rng = jax.random.PRNGKey(0)
     model = _uvit()
     x0 = jnp.zeros((1, 32, 32, 4), jnp.float32)
