@@ -22,8 +22,10 @@ Also reported:
   per-GPU batch (global 512 over 4 GPUs -> 128/chip, `README.md:76`).
 - dopri5_imgs_per_sec: the reference eval_step's decode default
   (dopri5 rtol=atol=1e-5, `/root/reference/train_lfm.py:200` +
-  `flow_matching.py:11-12`) on the bf16 LN-fused view with the PI step
-  controller (same tolerance contract; core/solvers.py), plus its NFE.
+  `flow_matching.py:11-12`) on the bf16 LN-fused view, torchdiffeq's
+  classic I controller (measured NFE 110 vs 200 for PI on this field),
+  plus its NFE, an equal-NFE baseline ratio, and which execution path
+  produced it (compiled while_loop vs stage-dispatch fallback).
 - e2e_imgs_per_sec: ODE + SD-VAE decode to 256px pixels (the
   reference's full sample path, train_lfm.py:200-204), bf16 decoder.
 - t2i_imgs_per_sec: U-ViT-T2I (L=334) with fused-2B CFG, int8 view.
@@ -162,7 +164,8 @@ def bench_dopri5(params, rng):
         t0 = time.perf_counter()
         out, nfe = run_device(params, jax.random.fold_in(rng, 1))
         _ = float(out)
-        return BATCH / (time.perf_counter() - t0), int(nfe)
+        return (BATCH / (time.perf_counter() - t0), int(nfe),
+                "compiled-while-loop")
     except Exception:
         _wait_backend()
 
@@ -178,7 +181,7 @@ def bench_dopri5(params, rng):
     t0 = time.perf_counter()
     _, s = run(jax.random.fold_in(rng, 1), expected=s["steps"])
     dt = time.perf_counter() - t0
-    return BATCH / dt, int(s["nfe"])
+    return BATCH / dt, int(s["nfe"]), "stages-device-fallback"
 
 
 def bench_e2e(params, rng):
@@ -238,7 +241,6 @@ def _host_euler_throughput(vf, params, rng):
 def bench_t2i(rng):
     """U-ViT-T2I (L=334) with fused-2B classifier-free guidance, int8."""
     from uspace_tpu.core import flow
-    from uspace_tpu.evals.sampling import cfg_velocity_fn
     from uspace_tpu.models import UViTT2I
 
     model = UViTT2I(img_size=32, patch_size=2, in_chans=4, embed_dim=1024,
@@ -270,13 +272,11 @@ def bench_t2i(rng):
         return _host_euler_throughput(vf_p, params,
                                       jax.random.fold_in(rng, 2))
 
-    vf = cfg_velocity_fn(model, params, {"context": ctx},
-                         {"context": jnp.zeros_like(ctx)}, 2.0)
-
     @jax.jit
     def run(params, rng):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
-        return flow.decode(vf, z, _euler_ode()).mean()
+        return flow.decode(vf_p, z, _euler_ode(),
+                           vf_params=params).mean()
 
     try:
         _ = float(run(params, rng))
@@ -404,8 +404,9 @@ def run_section(key):
         out = {"e2e_imgs_per_sec": round(
             bench_e2e(params, jax.random.fold_in(rng, 5)), 2)}
     elif key == "dopri5":
-        ips, nfe = bench_dopri5(params, jax.random.fold_in(rng, 4))
+        ips, nfe, path = bench_dopri5(params, jax.random.fold_in(rng, 4))
         out = {"dopri5_imgs_per_sec": round(ips, 2), "dopri5_nfe": nfe,
+               "dopri5_path": path,
                # the Euler-50 baseline scaled to this solve's NFE: the
                # adaptive solver does nfe/50 x the field work per image,
                # so per-NFE throughput is the like-for-like comparison
@@ -493,8 +494,9 @@ def main():
     # biggest programs (T2I CFG sampler, adaptive solvers) can crash the
     # tunnel's compile service, and a crash wedges the crashing process's
     # client — isolation means one bad section cannot take the rest (or
-    # the already-printed core line) down with it. Order: cheapest
-    # first, crash-prone t2i last.
+    # the already-printed core line) down with it. Order: cheapest and
+    # most robust first; the two historically crash-prone programs (t2i
+    # CFG, the adaptive solver) last.
     import subprocess
     import sys
 

@@ -281,6 +281,34 @@ class TestAdaptiveSolvers:
         x1 = solvers.odeint(_linear_vf(-1.0), jnp.ones((2,)), 0.0, 1.0, sk)
         np.testing.assert_allclose(x1, np.exp(-1.0), rtol=1e-4)
 
+    def test_vf_params_through_flow_decode(self):
+        """flow.decode/odeint thread vf_params to every solver kind:
+        host drivers get it as explicit program arguments; in-graph
+        solvers bind it. Field signature becomes vf(t_batch, x, p)."""
+        from uspace_tpu.core import flow
+
+        a = jnp.float32(0.25)
+        z = jnp.full((2, 4, 4, 4), 0.5, jnp.float32)
+
+        def vf(tb, x, p):
+            assert tb.ndim == 1
+            return jnp.full_like(x, 1.0) * p["a"]
+
+        for sk in (
+            {"solver": "fixed", "solver_fix": "euler",
+             "solver_fix_step": 0.1},
+            {"solver": "adaptive", "solver_adaptive": "dopri5",
+             "rtol": 1e-6, "atol": 1e-6},
+            {"solver": "adaptive", "solver_adaptive": "dopri5",
+             "driver": "host", "program": "stages", "rtol": 1e-6,
+             "atol": 1e-6},
+            {"solver": "adaptive", "solver_adaptive": "dopri5",
+             "driver": "host", "program": "stages_device", "rtol": 1e-6,
+             "atol": 1e-6},
+        ):
+            x1 = flow.decode(vf, z, sk, vf_params={"a": a})
+            np.testing.assert_allclose(np.asarray(x1), 0.75, rtol=1e-4)
+
     def test_stats_nfe_accounting(self):
         _, s = solvers.odeint_adaptive(_linear_vf(-1.0), jnp.ones((2,)),
                                        0.0, 1.0, return_stats=True)

@@ -33,10 +33,13 @@ def training_loss(
 
 def _scalar_to_batch_vf(velocity_fn: Callable, batch: int) -> Callable:
     """Adapt a per-sample-timestep model to the scalar-t ODE interface
-    (reference CNF.forward expands scalar t, flow_matching.py:30-33)."""
+    (reference CNF.forward expands scalar t, flow_matching.py:30-33).
+    Extra positional args (the ``vf_params`` calling convention) pass
+    through untouched."""
 
-    def vf(t, x):
-        return velocity_fn(jnp.full((batch,), t, dtype=jnp.float32), x)
+    def vf(t, x, *args):
+        return velocity_fn(jnp.full((batch,), t, dtype=jnp.float32), x,
+                           *args)
 
     return vf
 
@@ -47,12 +50,20 @@ def decode(
     solver_kwargs: Optional[dict] = None,
     t_edit: Optional[float] = None,
     has_aux: bool = False,
+    vf_params: Any = None,
 ) -> Any:
     """Integrate noise->data, t: 0 -> 1 (reference CNF.decode,
-    flow_matching.py:130-151; fixadp split at ``t_edit``)."""
+    flow_matching.py:130-151; fixadp split at ``t_edit``).
+
+    ``vf_params``: optional parameter pytree threaded to the field as an
+    explicit argument (``velocity_fn(t_batch, x, vf_params)``). Required
+    for host-driven adaptive solves at production model sizes — closure
+    capture bakes the tree into the compiled step programs (see
+    solvers.odeint_adaptive_host)."""
     vf = _scalar_to_batch_vf(velocity_fn, z.shape[0])
     return solvers.odeint(
-        vf, z, 0.0, 1.0, solver_kwargs=solver_kwargs, t_mid=t_edit, has_aux=has_aux
+        vf, z, 0.0, 1.0, solver_kwargs=solver_kwargs, t_mid=t_edit,
+        has_aux=has_aux, vf_params=vf_params,
     )
 
 
@@ -61,12 +72,15 @@ def encode(
     x: Array,
     solver_kwargs: Optional[dict] = None,
     has_aux: bool = False,
+    vf_params: Any = None,
 ) -> Any:
     """Exact inversion data->noise, t: 1 -> 0, always fixed-step
-    (reference CNF.encode, flow_matching.py:102-125)."""
+    (reference CNF.encode, flow_matching.py:102-125). ``vf_params``:
+    see :func:`decode`."""
     sk = dict(solver_kwargs or {})
     sk["solver"] = "fixed"
     sk.setdefault("solver_fix", "euler")
     sk.setdefault("solver_fix_step", 0.01)
     vf = _scalar_to_batch_vf(velocity_fn, x.shape[0])
-    return solvers.odeint(vf, x, 1.0, 0.0, solver_kwargs=sk, has_aux=has_aux)
+    return solvers.odeint(vf, x, 1.0, 0.0, solver_kwargs=sk,
+                          has_aux=has_aux, vf_params=vf_params)

@@ -350,7 +350,13 @@ def _stages_device_loop(vfj, vf_params, x0, t0, t1, direction, tab, A,
 
     @jax.jit
     def dev_pre(t, h):
-        return jnp.minimum(h, jnp.abs(jnp.float32(t1) - t))
+        # SIGN-AWARE remaining span: unlike the while_loop (whose cond
+        # guards stepping), blind attempts have no cond — if f32
+        # rounding ever lands t one ulp past t1, |t1 - t| would step
+        # FORWARD again and walk away; clamping at 0 makes any overshoot
+        # an exact no-op
+        return jnp.minimum(h, jnp.maximum(jnp.float32(0.0),
+                                          (jnp.float32(t1) - t) * dirf))
 
     @jax.jit
     def dev_stage(x, t, h_step, w, ci, ks):
@@ -367,7 +373,9 @@ def _stages_device_loop(vfj, vf_params, x0, t0, t1, direction, tab, A,
                              _contract(b_high, stk))
         err = jax.tree.map(lambda e: hs * e, _contract(b_err, stk))
         ratio = jnp.maximum(_error_ratio(err, x, x_new, rtol, atol), 1e-10)
-        live = h_step > 0  # attempts past t1 are no-ops
+        # same epsilon as the loops' termination test: an attempt whose
+        # remaining span is below it is padding, not a real micro-step
+        live = h_step > 1e-8
         accept = (ratio <= 1.0) & live
         if controller == "pi":
             factor = safety * jnp.power(ratio, -icoeff / tab.order) \
@@ -648,6 +656,7 @@ def odeint(
     has_aux: bool = False,
     rtol: float = _RTOL,
     atol: float = _ATOL,
+    vf_params: Any = None,
 ):
     """Dispatch on the reference's ``solver_kwargs`` dict
     (configs/*.py `dissection.solver_kwargs`):
@@ -656,12 +665,26 @@ def odeint(
     - ``{"solver": "adaptive", "solver_adaptive": m}``
     - ``{"solver": "fixadp", ...}`` with split point ``t_mid`` — fixed on
       [t0, t_mid], adaptive on [t_mid, t1] (flow_matching.py:153-180).
+
+    ``vf_params``: optional parameter pytree; when given the field is
+    called as ``vf(t, x, vf_params)``. For the host adaptive driver it
+    is threaded as an explicit argument of every compiled program
+    (closure capture bakes the tree into the executable payload — see
+    :func:`odeint_adaptive_host`); the in-graph solvers (fixed/device
+    adaptive), which callers jit with params already as arguments, just
+    bind it.
     """
     sk = dict(solver_kwargs or {"solver": "adaptive", "solver_adaptive": "dopri5"})
     kind = sk.get("solver", "adaptive")
     rtol = sk.get("rtol", rtol)
     atol = sk.get("atol", atol)
     controller = sk.get("controller", "i")
+    host = kind != "fixed" and sk.get("driver") == "host"
+    if vf_params is not None and not host:
+        # in-graph solvers: bind the tree (callers jit these solves with
+        # params as arguments, so the binding is a traced value there)
+        base_vf, p = vf, vf_params
+        vf = lambda t, x: base_vf(t, x, p)
     if kind == "fixed":
         n = num_fixed_steps(t0, t1, sk.get("solver_fix_step", 0.01))
         return odeint_fixed(
@@ -670,11 +693,11 @@ def odeint(
     if has_aux:
         raise ValueError("activation capture requires a fixed-step solver")
     if kind == "adaptive":
-        if sk.get("driver") == "host":
+        if host:
             return odeint_adaptive_host(
                 vf, x0, t0, t1, method=sk.get("solver_adaptive", "dopri5"),
                 rtol=rtol, atol=atol, controller=controller,
-                program=sk.get("program", "fused"),
+                program=sk.get("program", "fused"), vf_params=vf_params,
             )
         return odeint_adaptive(
             vf, x0, t0, t1, method=sk.get("solver_adaptive", "dopri5"),
