@@ -139,7 +139,7 @@ def bench_dopri5(params, rng):
     service on this program historically. Fallback (service still
     rejects it): the host-driven loop with the ON-DEVICE controller
     (program="stages_device"), blind-dispatching the warmup's step count
-    so there is no per-iteration fetch. Returns (img/s, nfe)."""
+    so there is no per-iteration fetch. Returns (img/s, nfe, path)."""
     from uspace_tpu.core import solvers
 
     model = _uvit(attn_impl="pallas_lnmlp")
