@@ -64,6 +64,33 @@ def test_train_loop_unet(tmp_path):
     assert int(state.step) == 3
 
 
+@pytest.mark.slow
+def test_sample_cli_from_checkpoint(tmp_path):
+    """cli.sample_lfm runs the loop's eval protocol standalone from a
+    saved checkpoint (the reference only exposes it inside train_lfm's
+    loop): restores the latest EMA state, samples with config.sample,
+    and writes latents as per-batch .npy when no VAE weights exist."""
+    import numpy as np
+
+    from uspace_tpu.cli.sample_lfm import run
+    from uspace_tpu.configs.synthetic_smoke import get_config
+    from uspace_tpu.train.loop import train
+
+    cfg = get_config()
+    wd = str(tmp_path / "run")
+    train(cfg, wd)
+
+    out_dir, fid = run(cfg, wd, n_samples=4,
+                       out=str(tmp_path / "samp"), fid=True)
+    assert fid is None  # no VAE weights / fid stats in the smoke config
+    files = sorted((tmp_path / "samp").glob("*.npy"))
+    assert files, "no sample batches written"
+    arr = np.concatenate([np.load(f) for f in files])
+    c, h, w = cfg.z_shape
+    assert arr.shape == (4, h, w, c)  # CHW config -> HWC latents
+    assert np.isfinite(arr).all()
+
+
 def test_solver_kwargs_plumbing(tmp_path):
     """config.sample.solver_kwargs reaches eval sampling: fixed derives
     the step from sample_steps; adaptive selects the reference eval

@@ -14,6 +14,7 @@ single 2B batch instead of two launches.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Dict, Optional
 
 import jax
@@ -62,8 +63,11 @@ def sample2dir(
     out_dir: str,
     rng: Array,
     unpreprocess: Optional[Callable] = None,
+    as_npy: bool = False,
 ) -> None:
-    """Generate ``n_samples`` images in mini-batches and write PNGs.
+    """Generate ``n_samples`` images in mini-batches and write PNGs
+    (or per-batch ``.npy`` latent files with ``as_npy=True`` — the
+    no-VAE-weights path of cli/sample_lfm).
 
     ``sample_fn(rng, n) -> [n, H, W, C]`` images in [-1, 1] (decoded) or
     [0, 1] if ``unpreprocess`` is None.
@@ -71,7 +75,7 @@ def sample2dir(
     Multi-host: every process executes the SAME sequence of compiled
     invocations (params may be sharded over a global mesh, so diverging
     program counts across hosts would desynchronize SPMD collectives);
-    each batch's PNGs are written by the process that owns it round-robin.
+    each batch's files are written by the process that owns it round-robin.
     """
     from ..utils.vis import save_image_batch
 
@@ -85,4 +89,9 @@ def sample2dir(
         imgs = np.asarray(imgs)
         if unpreprocess is not None:
             imgs = unpreprocess(imgs)
-        save_image_batch(imgs, out_dir, start_index=b * mini_batch_size)
+        if as_npy:
+            os.makedirs(out_dir, exist_ok=True)
+            np.save(os.path.join(
+                out_dir, f"{b * mini_batch_size}.npy"), imgs)
+        else:
+            save_image_batch(imgs, out_dir, start_index=b * mini_batch_size)
