@@ -43,24 +43,27 @@ def capture_trajectory(
     under key "t" — grid times are the step *start* times, matching the
     reference's one-save-per-step naming.
     """
-    vf_plain = make_velocity_fn(model, params, cond or {}, capture=taps)
-
-    def vf(t_batch, x):
-        v, tap_vals = vf_plain(t_batch, x)
-        tap_vals = dict(tap_vals)
-        tap_vals["t"] = t_batch[0]
-        return v, tap_vals
-
     b = x.shape[0]
-
-    def vf_scalar(t, x):
-        return vf(jnp.full((b,), t, jnp.float32), x)
-
     t0, t1 = (1.0, 0.0) if direction == "encode" else (0.0, 1.0)
-    final, stacks = solvers.odeint_fixed(
-        vf_scalar, x, t0, t1, num_steps, method=method, has_aux=True
-    )
-    return final, stacks
+
+    @jax.jit
+    def run(params, x, cond):
+        # params/cond as jit ARGUMENTS: a concrete closure would bake
+        # the tree into the executable payload (fatal on remote-compile
+        # backends at production sizes)
+        vf_plain = make_velocity_fn(model, params, cond, capture=taps)
+
+        def vf_scalar(t, x):
+            v, tap_vals = vf_plain(jnp.full((b,), t, jnp.float32), x)
+            tap_vals = dict(tap_vals)
+            tap_vals["t"] = t
+            return v, tap_vals
+
+        return solvers.odeint_fixed(
+            vf_scalar, x, t0, t1, num_steps, method=method, has_aux=True
+        )
+
+    return run(params, x, cond or {})
 
 
 def captures_to_grid(stack: Array, ts: Array) -> Array:

@@ -56,30 +56,52 @@ class DissectSession:
             or {"solver": "fixed", "solver_fix": "euler",
                 "solver_fix_step": 0.01}
         )
+        self._jit_cache: Dict[Any, Callable] = {}
 
     # -- primitives ----------------------------------------------------------
 
     def _vf(self, cond: Optional[Dict] = None, **kw):
         return make_velocity_fn(self.model, self.params, cond or {}, **kw)
 
+    def _cached(self, key, builder):
+        """One jitted program per call structure, with params/operands
+        as explicit ARGUMENTS (a concrete params closure would bake the
+        tree into the executable payload and re-trace per call)."""
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jit_cache[key] = jax.jit(builder)
+        return fn
+
     def encode(self, x: Array, cond: Optional[Dict] = None,
                attn_edit: Optional[AttnEdit] = None) -> Array:
         """Exact inversion x -> z (never applies attention edits: the
         reference disables editing in the encode direction,
         utils_t2i.py:276-278)."""
-        return flow.encode(self._vf(cond), x, self.solver_kwargs)
+
+        def go(params, x, cond):
+            vf = make_velocity_fn(self.model, params, cond)
+            return flow.encode(vf, x, self.solver_kwargs)
+
+        return self._cached("encode", go)(self.params, x, cond or {})
 
     def decode(self, z: Array, cond: Optional[Dict] = None,
                edit: Optional[USpaceEdit] = None,
                attn_edit: Optional[AttnEdit] = None,
                t_edit: Optional[float] = None) -> Array:
-        kw = {}
-        if edit is not None:
-            kw["edit"] = edit
-        if attn_edit is not None:
-            kw["attn_edit"] = attn_edit
-        return flow.decode(self._vf({} if cond is None else cond, **kw), z,
-                           self.solver_kwargs, t_edit=t_edit)
+        has_e, has_a = edit is not None, attn_edit is not None
+
+        def go(params, z, cond, edit, attn_edit):
+            kw = {}
+            if has_e:
+                kw["edit"] = edit
+            if has_a:
+                kw["attn_edit"] = attn_edit
+            vf = make_velocity_fn(self.model, params, cond, **kw)
+            return flow.decode(vf, z, self.solver_kwargs, t_edit=t_edit)
+
+        fn = self._cached(("decode", has_e, has_a, t_edit), go)
+        return fn(self.params, z, {} if cond is None else cond, edit,
+                  attn_edit)
 
     # -- read phase -----------------------------------------------------------
 
