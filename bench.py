@@ -386,16 +386,85 @@ def _wait_backend(max_wait=240):
             time.sleep(15)
 
 
+def _run_core():
+    """Core protocol: sampler headline, quality gates, training
+    throughput. Prints an updated SECTION_RESULT fragment after EVERY
+    milestone so a parent that kills this process on timeout (a wedged
+    backend hangs fetches indefinitely) still recovers everything that
+    completed."""
+    rng = jax.random.PRNGKey(0)
+    model = _uvit()
+    # jitted init: eager init issues one remote op per parameter through
+    # the axon tunnel (minutes for a 0.3B-param model)
+    params = jax.jit(model.init)(
+        rng, jnp.zeros((1, 32, 32, 4), jnp.float32), jnp.zeros((1,)))
+
+    def attempt(fn, *args):
+        try:
+            return fn(*args)
+        except Exception:
+            _wait_backend()  # compile service restarts; poll it back
+            return fn(*args)
+
+    out = {
+        "metric": "images/sec/chip @256px U-ViT-large 50-step Euler",
+        "unit": "images/sec",
+        "baseline_note": "analytic A100-fp16@40%MFU estimate (11.0 img/s);"
+                         " reference publishes no numbers",
+        "sampler_precision": "int8-w8a8-dynamic (f32 softmax/LN/acc)",
+    }
+
+    def emit():
+        print("SECTION_RESULT " + json.dumps(out), flush=True)
+
+    ips = attempt(bench_sampler, params, rng)
+    out["value"] = round(ips, 3)
+    out["vs_baseline"] = round(ips / BASELINE_A100_IMG_PER_SEC, 3)
+    emit()  # headline lands first
+    cos0 = rel0 = None
+    try:
+        cos0, rel0 = attempt(bench_quality, params, rng)
+        out["quality_latent_cosine_vs_bf16"] = round(cos0, 5)
+        out["quality_latent_rel_l2_vs_bf16"] = round(rel0, 5)
+        out["quality_weights"] = "random-init"
+        emit()
+    except Exception as e:
+        out["quality_error"] = f"{type(e).__name__}: {e}"[:120]
+    trained = None
+    try:
+        train_ips, train_bs, trained = attempt(bench_train, params, rng)
+        out["train_imgs_per_sec_per_chip"] = round(train_ips, 2)
+        out["train_batch_per_chip"] = train_bs
+        emit()
+    except Exception as e:
+        out["train_error"] = f"{type(e).__name__}: {e}"[:120]
+    if trained is not None:
+        try:
+            cos_t, rel_t = bench_quality(trained, jax.random.fold_in(rng, 3))
+            out["quality_latent_cosine_vs_bf16"] = round(cos_t, 5)
+            out["quality_latent_rel_l2_vs_bf16"] = round(rel_t, 5)
+            out["quality_weights"] = \
+                f"trained {TRAIN_EXTRA_STEPS}+16 steps in-bench"
+            if cos0 is not None:
+                out["quality_latent_cosine_random_init"] = round(cos0, 5)
+        except Exception as e:
+            out["quality_error"] = f"{type(e).__name__}: {e}"[:120]
+    emit()
+
+
 def run_section(key):
-    """Run one extra section in THIS process and print its JSON fragment.
+    """Run one section in THIS process and print its JSON fragment(s).
 
     Invoked as `python bench.py --section=KEY` by main(): the tunnel's
     compile service can crash on the biggest programs (T2I CFG sampler,
-    adaptive solvers) and a crash can wedge the in-process client on the
-    dead port — each extra therefore gets a fresh process/client, and a
-    crash cannot take later sections down with it."""
+    adaptive solvers), a crash can wedge the in-process client on the
+    dead port, and a wedged TPU worker hangs every fetch indefinitely —
+    each section therefore gets a fresh process/client under a parent
+    timeout, and a bad section cannot take the others down with it."""
     _wait_backend()
     rng = jax.random.PRNGKey(0)
+    if key == "core":
+        return _run_core()
     if key in ("e2e", "dopri5"):
         model = _uvit()
         params = jax.jit(model.init)(
@@ -423,115 +492,88 @@ def run_section(key):
     print("SECTION_RESULT " + json.dumps(out), flush=True)
 
 
+def _section_subprocess(key, timeout):
+    """Run `python bench.py --section=KEY` with a hard timeout; return
+    (last SECTION_RESULT fragment or None, error string or None). A
+    timed-out process's partial stdout is still parsed — the core
+    section emits a fragment after every milestone, so a hang late in
+    the section loses only what never completed."""
+    import os
+    import subprocess
+    import sys
+
+    rc = None
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", key],
+            capture_output=True, text=True, timeout=timeout)
+        stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
+        err = None
+    except subprocess.TimeoutExpired as e:
+        stdout = e.stdout or ""
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        stderr = ""
+        err = "section timeout"
+    except Exception as e:
+        return None, f"{type(e).__name__}: {e}"[:120]
+    frag = None
+    for line in (stdout or "").splitlines():
+        if line.startswith("SECTION_RESULT "):
+            frag = json.loads(line[len("SECTION_RESULT "):])
+    if frag is None and err is None:
+        tail = (stderr or stdout or "").strip().splitlines()
+        err = (tail[-1] if tail else f"rc={rc}")[:120]
+    return frag, err
+
+
 def main():
     import os
 
     t_start = time.time()
-    # extras (dopri5/e2e/t2i/unet) stop starting once this much wall
-    # time is spent: remote-tunnel compiles can be slow, and the core
-    # headline line must always be printed (it is emitted first; the
-    # driver takes the LAST JSON line, so a kill mid-extras still
-    # leaves a valid result)
+    # sections stop starting once this much wall time is spent: remote-
+    # tunnel compiles can be slow, and whatever completed must still be
+    # printed (the driver takes the LAST complete JSON line)
     deadline = float(os.environ.get("USPACE_BENCH_DEADLINE", 4200))
-    rng = jax.random.PRNGKey(0)
-    model = _uvit()
-    x0 = jnp.zeros((1, 32, 32, 4), jnp.float32)
-    # jitted init: eager init issues one remote op per parameter through
-    # the axon tunnel (minutes for a 0.3B-param model)
-    params = jax.jit(model.init)(rng, x0, jnp.zeros((1,)))
 
-    # the in-process sections are individually fault-tolerant: the
-    # tunnel's compile service can crash on big programs; whatever
-    # succeeded must still be reported (poll the backend back to life,
-    # then retry the section once — the service restarts)
-    def attempt(fn, *args):
-        try:
-            return fn(*args)
-        except Exception:
-            _wait_backend()
-            return fn(*args)
-
-    ips = attempt(bench_sampler, params, rng)
-    result = {
-        "metric": "images/sec/chip @256px U-ViT-large 50-step Euler",
-        "value": round(ips, 3),
-        "unit": "images/sec",
-        "vs_baseline": round(ips / BASELINE_A100_IMG_PER_SEC, 3),
-        "baseline_note": "analytic A100-fp16@40%MFU estimate (11.0 img/s);"
-                         " reference publishes no numbers",
-        "sampler_precision": "int8-w8a8-dynamic (f32 softmax/LN/acc)",
-    }
-    print(json.dumps(result), flush=True)  # headline lands first
-    cos0 = rel0 = None
-    try:
-        cos0, rel0 = attempt(bench_quality, params, rng)
-    except Exception as e:
-        result["quality_error"] = f"{type(e).__name__}: {e}"[:120]
-    trained = None
-    try:
-        train_ips, train_bs, trained = attempt(bench_train, params, rng)
-        result["train_imgs_per_sec_per_chip"] = round(train_ips, 2)
-        result["train_batch_per_chip"] = train_bs
-    except Exception as e:
-        result["train_error"] = f"{type(e).__name__}: {e}"[:120]
-    if trained is not None:
-        try:
-            cos_t, rel_t = bench_quality(trained, jax.random.fold_in(rng, 3))
-            result["quality_latent_cosine_vs_bf16"] = round(cos_t, 5)
-            result["quality_latent_rel_l2_vs_bf16"] = round(rel_t, 5)
-            result["quality_weights"] = \
-                f"trained {TRAIN_EXTRA_STEPS}+16 steps in-bench"
-            if cos0 is not None:
-                result["quality_latent_cosine_random_init"] = round(cos0, 5)
-        except Exception as e:
-            result["quality_error"] = f"{type(e).__name__}: {e}"[:120]
-    elif cos0 is not None:
-        result["quality_latent_cosine_vs_bf16"] = round(cos0, 5)
-        result["quality_latent_rel_l2_vs_bf16"] = round(rel0, 5)
-        result["quality_weights"] = "random-init"
+    # EVERY section — including the core protocol — runs in a SUBPROCESS
+    # with a hard timeout: the tunnel's compile service can crash on the
+    # biggest programs, a crash wedges that process's client on the dead
+    # port, and a wedged TPU worker hangs fetches indefinitely (observed
+    # for >2h) — an in-process hang would leave the driver with NO
+    # output at all. The core section emits incremental fragments, so
+    # even a mid-core hang preserves the milestones that finished.
+    frag, err = _section_subprocess("core", min(deadline * 0.7, 2700.0))
+    if frag is None:
+        remaining = deadline - (time.time() - t_start) - 180
+        if remaining > 300:  # fresh process + client, bounded retry
+            frag, err = _section_subprocess("core", min(remaining, 2700.0))
+    if frag is None:
+        result = {
+            "metric": "images/sec/chip @256px U-ViT-large 50-step Euler",
+            "value": None, "unit": "images/sec",
+            "error": f"core bench produced no result: {err}",
+        }
+    else:
+        result = frag
+        if err:
+            result["core_note"] = err  # partial: a late milestone hung
     print(json.dumps(result), flush=True)  # core line lands first
-    # extras run in SUBPROCESSES (fresh jax client per section): the
-    # biggest programs (T2I CFG sampler, adaptive solvers) can crash the
-    # tunnel's compile service, and a crash wedges the crashing process's
-    # client — isolation means one bad section cannot take the rest (or
-    # the already-printed core line) down with it. Order: cheapest and
-    # most robust first; the two historically crash-prone programs (t2i
-    # CFG, the adaptive solver) last.
-    import subprocess
-    import sys
-
+    # Order: cheapest and most robust first; the two historically
+    # crash-prone programs (t2i CFG, the adaptive solver) last.
     for key in ("e2e", "unet", "t2i", "dopri5"):
-        remaining = deadline - (time.time() - t_start)
-        if remaining < 120:
-            result[f"{key}_skipped"] = "bench deadline reached"
-            continue
         for retry in range(2):  # second try = fresh process + client
-            try:
-                remaining = deadline - (time.time() - t_start)
-                if remaining < 120:
-                    break
-                cap = 1200.0 if key == "t2i" else 900.0  # cold t2i trace
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--section", key],
-                    capture_output=True, text=True,
-                    timeout=min(remaining, cap))
-                frag = None
-                for line in proc.stdout.splitlines():
-                    if line.startswith("SECTION_RESULT "):
-                        frag = json.loads(line[len("SECTION_RESULT "):])
-                if frag is None:
-                    tail = (proc.stderr or proc.stdout).strip().splitlines()
-                    result[f"{key}_error"] = \
-                        (tail[-1] if tail else f"rc={proc.returncode}")[:120]
-                else:
-                    result.update(frag)
-                    result.pop(f"{key}_error", None)
-                    break
-            except subprocess.TimeoutExpired:
-                result[f"{key}_error"] = "section timeout"
-            except Exception as e:  # keep the headline line robust
-                result[f"{key}_error"] = f"{type(e).__name__}: {e}"[:120]
+            remaining = deadline - (time.time() - t_start)
+            if remaining < 120:
+                result.setdefault(f"{key}_skipped", "bench deadline reached")
+                break
+            cap = 1200.0 if key == "t2i" else 900.0  # cold t2i trace
+            frag, err = _section_subprocess(key, min(remaining, cap))
+            if frag is not None:
+                result.update(frag)
+                result.pop(f"{key}_error", None)
+                break
+            result[f"{key}_error"] = err
         print(json.dumps(result), flush=True)  # last complete line wins
     print(json.dumps(result))
 
