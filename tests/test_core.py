@@ -281,6 +281,47 @@ class TestAdaptiveSolvers:
         x1 = solvers.odeint(_linear_vf(-1.0), jnp.ones((2,)), 0.0, 1.0, sk)
         np.testing.assert_allclose(x1, np.exp(-1.0), rtol=1e-4)
 
+    def test_stages_device_reverse_time(self):
+        """Reverse-time solves (t: 1 -> 0, the encode direction) through
+        stages_device: the sign-aware remaining-span clamp must track
+        direction=-1, and blind no-op padding must hold there too."""
+        def vf(t, x):
+            return jnp.stack([x[1], -25.0 * x[0]])
+
+        x1 = jnp.array([np.cos(5.0), -5 * np.sin(5.0)], jnp.float32)
+        xd, sd = solvers.odeint_adaptive(
+            vf, x1, 1.0, 0.0, rtol=1e-6, atol=1e-6, return_stats=True)
+        xs, ss = solvers.odeint_adaptive_host(
+            vf, x1, 1.0, 0.0, rtol=1e-6, atol=1e-6, return_stats=True,
+            program="stages_device")
+        assert int(sd["steps"]) == ss["steps"]
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(xd),
+                                   rtol=1e-5, atol=1e-6)
+        xb, sb = solvers.odeint_adaptive_host(
+            vf, x1, 1.0, 0.0, rtol=1e-6, atol=1e-6, return_stats=True,
+            program="stages_device", expected_steps=ss["steps"] + 4)
+        assert sb["steps"] == ss["steps"]
+        np.testing.assert_array_equal(np.asarray(xb), np.asarray(xs))
+        # both recover the t=0 initial condition of the oscillator
+        np.testing.assert_allclose(np.asarray(xs), [1.0, 0.0],
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_vf_params_through_fixadp(self):
+        """vf_params binds through the fixadp split solve too."""
+        from uspace_tpu.core import flow
+
+        a = jnp.float32(0.25)
+        z = jnp.full((2, 4, 4, 4), 0.5, jnp.float32)
+
+        def vf(tb, x, p):
+            return jnp.full_like(x, 1.0) * p["a"]
+
+        sk = {"solver": "fixadp", "solver_fix": "euler",
+              "solver_fix_step": 0.05, "solver_adaptive": "dopri5",
+              "rtol": 1e-6, "atol": 1e-6}
+        x1 = flow.decode(vf, z, sk, t_edit=0.4, vf_params={"a": a})
+        np.testing.assert_allclose(np.asarray(x1), 0.75, rtol=1e-4)
+
     def test_vf_params_through_flow_decode(self):
         """flow.decode/odeint thread vf_params to every solver kind:
         host drivers get it as explicit program arguments; in-graph
