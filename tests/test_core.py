@@ -149,6 +149,29 @@ class TestAdaptiveSolvers:
         f = jax.jit(lambda x: solvers.odeint_adaptive(_linear_vf(-1.0), x, 0.0, 1.0))
         np.testing.assert_allclose(f(jnp.ones((2,))), np.exp(-1.0), rtol=1e-4)
 
+    def test_safety_as_traced_argument(self):
+        """``safety`` must be acceptable as a TRACED jit argument (the
+        bench sweeps controller safety without recompiling) and keep the
+        tolerance contract: same accept test, so accuracy stays within
+        the same order while higher safety takes fewer steps."""
+        def vf(t, x):
+            return jnp.stack([x[1], -25.0 * x[0]])
+
+        x0 = jnp.array([1.0, 0.0])
+        exact = np.array([np.cos(5.0), -5 * np.sin(5.0)])
+
+        @jax.jit
+        def run(x0, safety):
+            return solvers.odeint_adaptive(
+                vf, x0, 0.0, 1.0, rtol=1e-6, atol=1e-6, safety=safety,
+                return_stats=True)
+
+        x09, s09 = run(x0, jnp.float32(0.9))
+        x10, s10 = run(x0, jnp.float32(1.0))
+        np.testing.assert_allclose(x09, exact, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(x10, exact, rtol=2e-4, atol=2e-5)
+        assert int(s10["accepted"]) <= int(s09["accepted"])
+
     def test_pi_controller_same_accuracy_fewer_rejects(self):
         """PI control keeps the tolerance contract (same accuracy on a
         known solution) and never accepts a step the I-controller's test

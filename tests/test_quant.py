@@ -206,6 +206,97 @@ class TestFusedMlp:
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
 
+    def test_w8_kernel_matches_dequantized_weights(self, rng):
+        """The weight-only-int8 kernel must equal the *plain* kernel run
+        on the explicitly dequantized weights (activations are never
+        quantized, so that is its exact mathematical content)."""
+        from uspace_tpu.ops.mlp import fused_mlp
+        from uspace_tpu.ops.quant import quantize_colwise
+
+        x, w1, b1, w2, b2, ref = self._data(rng)
+        out = fused_mlp(x, w1, b1, w2, b2, quant="w8")
+        q1, s1 = quantize_colwise(w1)
+        q2, s2 = quantize_colwise(w2)
+        w1d = q1.astype(jnp.float32) * s1[None, :]
+        w2d = q2.astype(jnp.float32) * s2[None, :]
+        exact = fused_mlp(x, w1d, b1, w2d, b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(exact),
+                                   rtol=2e-3, atol=2e-3)
+        # and the weight-only view is strictly tighter to the exact MLP
+        # than the W8A8 view (no activation-rounding noise)
+        int8_out = fused_mlp(x, w1, b1, w2, b2, quant=True)
+        rel = lambda o: float(jnp.linalg.norm(o - ref) /
+                              jnp.linalg.norm(ref))
+        assert rel(out) < rel(int8_out)
+
+
+class TestW8View:
+    def test_block_w8_matches_dequantized_manual(self, rng):
+        """fused_mlp_block_q(quant="w8") == x + MLP_f32(LN(x)) with the
+        int8-dequantized weights, within bf16 kernel tolerance."""
+        from uspace_tpu.ops.mlp import fused_mlp_block_q
+        from uspace_tpu.ops.quant import quantize_colwise
+
+        k = jax.random.fold_in
+        c, h = 64, 256
+        x = (jax.random.normal(rng, (2, 50, c)) * 0.5)
+        lns = 1.0 + 0.1 * jax.random.normal(k(rng, 1), (c,))
+        lnb = 0.1 * jax.random.normal(k(rng, 2), (c,))
+        w1 = jax.random.normal(k(rng, 3), (c, h)) * 0.05
+        b1 = jax.random.normal(k(rng, 4), (h,)) * 0.02
+        w2 = jax.random.normal(k(rng, 5), (h, c)) * 0.05
+        b2 = jax.random.normal(k(rng, 6), (c,)) * 0.02
+        out = fused_mlp_block_q(x, lns, lnb, w1, b1, w2, b2, quant="w8")
+        q1, s1 = quantize_colwise(w1)
+        q2, s2 = quantize_colwise(w2)
+        mu = x.mean(-1, keepdims=True)
+        xln = (x - mu) / jnp.sqrt(x.var(-1, keepdims=True) + 1e-5) \
+            * lns + lnb
+        hmid = jax.nn.gelu(xln @ (q1.astype(jnp.float32) * s1[None]) + b1,
+                           approximate=False)
+        ref = x + (hmid @ (q2.astype(jnp.float32) * s2[None]) + b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-3, atol=5e-3)
+
+    def test_uvit_w8_view_tighter_than_w8a8(self, rng):
+        """quant="w8" shares the param tree and sits strictly closer to
+        the full-precision view than quant=True (W8A8) — it is the
+        quantized view adaptive solvers can use (a fixed smooth weight
+        perturbation, no activation-rounding noise in the field)."""
+        from uspace_tpu.models import UViT
+
+        kw = dict(img_size=16, patch_size=2, in_chans=4, embed_dim=64,
+                  depth=4, num_heads=4)
+        m = UViT(**kw)
+        mw8 = UViT(**kw, quant="w8", attn_impl="pallas_lnmlp")
+        mq = UViT(**kw, quant=True, attn_impl="pallas_lnmlp")
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        t = jnp.full((2,), 0.4)
+        params = m.init(rng, x, t)
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(mw8.init(rng, x, t))
+        ref, _ = m.apply(params, x, t)
+        out_w8, _ = mw8.apply(params, x, t)
+        out_q, _ = mq.apply(params, x, t)
+        rel = lambda o: float(jnp.linalg.norm((o - ref).astype(jnp.float32))
+                              / jnp.linalg.norm(ref.astype(jnp.float32)))
+        assert _cosine(out_w8, ref) > 0.995
+        assert rel(out_w8) < rel(out_q)
+
+    def test_uvit_w8_auto_impl(self, rng):
+        """quant="w8" with attn_impl="auto" must run everywhere (CPU
+        falls back to interpret-mode kernels / XLA paths)."""
+        from uspace_tpu.models import UViT
+
+        kw = dict(img_size=16, patch_size=2, in_chans=4, embed_dim=64,
+                  depth=2, num_heads=4)
+        m = UViT(**kw, quant="w8")
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        t = jnp.full((2,), 0.4)
+        params = m.init(rng, x, t)
+        out, _ = m.apply(params, x, t)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
 
 class TestQuantModelView:
     def test_uvit_quant_view_quality_gate(self, rng):

@@ -158,10 +158,22 @@ class Int8Dense(nn.Module):
         return int8_dense(x, k, b, out_dtype=self.dtype)
 
 
-def _dense(quant: bool, features: int, *, use_bias: bool = True,
+def _qmodes(quant) -> tuple:
+    """Normalize the ``quant`` view flag: ``True``/"w8a8" = int8 W8A8
+    (weights AND activations); "w8" = int8 weights, bf16 activations —
+    the adaptive-solver-safe quantized view (no activation-rounding
+    noise in the field, so the embedded error estimate stays clean).
+    Returns ``(w8a8, w8)`` booleans."""
+    return (quant is True or quant == "w8a8"), quant == "w8"
+
+
+def _dense(quant, features: int, *, use_bias: bool = True,
            dtype=jnp.float32, name: str):
-    """nn.Dense or its quantized twin, same param tree either way."""
-    cls = Int8Dense if quant else nn.Dense
+    """nn.Dense or its quantized twin, same param tree either way.
+    Only the W8A8 view quantizes these [C, C]-sized projections — in the
+    w8 view their bf16 copies are small and XLA schedules them well."""
+    w8a8, _ = _qmodes(quant)
+    cls = Int8Dense if w8a8 else nn.Dense
     return cls(features, use_bias=use_bias, dtype=dtype,
                kernel_init=dense_init, name=name)
 
@@ -172,23 +184,24 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: Optional[int] = None
     dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # False | True ("w8a8") | "w8"
 
     @nn.compact
     def __call__(self, x):
         out_dim = self.out_dim or x.shape[-1]
         if self.quant:
-            # fully fused int8 MLP kernel: fc1+GELU+fc2 with the hidden
-            # tensor resident in VMEM (ops/mlp.py). Params live at the
-            # same tree paths nn.Dense would create.
+            # fully fused quantized MLP kernel: fc1+GELU+fc2 with the
+            # hidden tensor resident in VMEM (ops/mlp.py). Params live at
+            # the same tree paths nn.Dense would create.
             from ..ops.mlp import fused_mlp
 
+            w8a8, _ = _qmodes(self.quant)
             w1, b1 = _DenseKernel(self.hidden_dim, use_bias=True,
                                   name="fc1")(x.shape[-1])
             w2, b2 = _DenseKernel(out_dim, use_bias=True,
                                   name="fc2")(self.hidden_dim)
             return fused_mlp(x.astype(self.dtype), w1, b1, w2, b2,
-                             quant=True)
+                             quant=True if w8a8 else "w8")
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=dense_init, name="fc1")(x)
         x = gelu_exact(x)
@@ -206,7 +219,7 @@ class Attention(nn.Module):
     qk_scale: Optional[float] = None
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
-    quant: bool = False
+    quant: Any = False  # False | True ("w8a8") | "w8"
 
     @nn.compact
     def __call__(
@@ -218,6 +231,7 @@ class Attention(nn.Module):
         capture_probs: bool = False,
     ):
         b, l, c = x.shape
+        w8a8, _ = _qmodes(self.quant)
         h = self.num_heads
         d = c // h
         scale = self.qk_scale or d**-0.5
@@ -244,10 +258,10 @@ class Attention(nn.Module):
                 # to bf16 first discards mantissa ahead of scale fitting);
                 # the bf16 branch casts inside the kernel call
                 kernel = _DenseKernel(3 * c, name="qkv")(c)
-                if not self.quant:
+                if not w8a8:
                     kernel = kernel.astype(self.dtype)
                 out = fused_qkvproj_attention(
-                    x, kernel, h, scale, quant=self.quant)
+                    x, kernel, h, scale, quant=w8a8)
             else:
                 # XLA projection + transpose-free attention kernel — the
                 # fastest *training* path (backward does not recompute
@@ -298,7 +312,7 @@ class Block(nn.Module):
     skip: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
-    quant: bool = False
+    quant: Any = False  # False | True ("w8a8") | "w8"
 
     @nn.compact
     def __call__(
@@ -311,6 +325,7 @@ class Block(nn.Module):
         capture_probs: bool = False,
     ):
         c = x.shape[-1]
+        w8a8, w8 = _qmodes(self.quant)
         if self.skip:
             x = _dense(self.quant, c, dtype=self.dtype,
                        name="skip_linear")(
@@ -321,7 +336,7 @@ class Block(nn.Module):
         # leave VMEM). Opt-in like the bf16 variant: measured a wash vs
         # the separate int8 kernels (20.57 vs 20.65 img/s) — kept for
         # shapes where the traffic saving beats the pipelining loss.
-        if (self.quant and self.attn_impl == "pallas_block"
+        if (w8a8 and self.attn_impl == "pallas_block"
                 and attn_edit is None and not capture_probs
                 and not self.qkv_bias):
             from ..ops.attention import fused_attention_block_q
@@ -368,11 +383,11 @@ class Block(nn.Module):
             # precision, as Int8Dense does); bf16 cast only otherwise
             a = fused_ln_qkvproj_attention(
                 x.astype(self.dtype), ln1_s, ln1_b,
-                wqkv if self.quant else wqkv.astype(self.dtype),
+                wqkv if w8a8 else wqkv.astype(self.dtype),
                 self.num_heads,
                 scale=self.qk_scale or d**-0.5, eps=LN_EPS,
-                quant=self.quant)
-            if self.quant:
+                quant=w8a8)
+            if w8a8:
                 from ..ops.quant import int8_dense
 
                 x = x + int8_dense(a, wproj, bproj, out_dtype=x.dtype)
@@ -381,12 +396,25 @@ class Block(nn.Module):
                     int(c * self.mlp_ratio), name="mlp")(c)
                 return fused_mlp_block_q(x, ln2_s, ln2_b, w1, b1, w2, b2,
                                          eps=LN_EPS)
+            x = x + (a @ wproj.astype(self.dtype)
+                     + bproj.astype(self.dtype)).astype(x.dtype)
+            if w8:
+                # w8 view: bf16 attention/proj as above, plus the
+                # weight-only-int8 fused MLP sub-block — the bf16 twin of
+                # that kernel cannot run at the bench shape (16.8 MB of
+                # bf16 weights, over the VMEM budget), which is exactly
+                # why the plain bf16 view falls back to the unfused XLA
+                # MLP below. Activations stay bf16: the field is a fixed
+                # smooth perturbation, safe under adaptive step control.
+                ln2_s, ln2_b = _LNParams(name="norm2")(c)
+                w1, b1, w2, b2 = _MlpParams(
+                    int(c * self.mlp_ratio), name="mlp")(c)
+                return fused_mlp_block_q(x, ln2_s, ln2_b, w1, b1, w2, b2,
+                                         eps=LN_EPS, quant="w8")
             # bf16: only LN1 needs folding (it feeds a pallas kernel and
             # cannot fuse); LN2 feeds the XLA MLP, which XLA fuses fine.
             # The bf16 LN-fused MLP kernel would need 16MB of bf16
             # weights in VMEM — over the scoped limit at the bench shape.
-            x = x + (a @ wproj.astype(self.dtype)
-                     + bproj.astype(self.dtype)).astype(x.dtype)
             x = x + Mlp(hidden_dim=int(c * self.mlp_ratio),
                         dtype=self.dtype, quant=False, name="mlp")(
                 nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
@@ -424,15 +452,16 @@ class Block(nn.Module):
             x = x + a
         if self.quant and self.attn_impl == "pallas_lnmlp":
             # hybrid: separate qkvproj attention kernel (keeps XLA's
-            # cross-block pipelining) + LN-fused int8 MLP sub-block (the
-            # LN output and hidden tensor never touch HBM)
+            # cross-block pipelining) + LN-fused quantized MLP sub-block
+            # (the LN output and hidden tensor never touch HBM)
             from ..ops.mlp import fused_mlp_block_q
 
             ln2_s, ln2_b = _LNParams(name="norm2")(c)
             w1, b1, w2, b2 = _MlpParams(
                 int(c * self.mlp_ratio), name="mlp")(c)
             x = fused_mlp_block_q(x, ln2_s, ln2_b, w1, b1, w2, b2,
-                                  eps=LN_EPS)
+                                  eps=LN_EPS,
+                                  quant=True if w8a8 else "w8")
         else:
             x = x + Mlp(hidden_dim=int(c * self.mlp_ratio), dtype=self.dtype,
                         quant=self.quant, name="mlp")(

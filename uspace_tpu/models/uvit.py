@@ -67,9 +67,12 @@ class UViT(nn.Module):
     skip: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
-    # int8 W8A8 sampling view (ops/quant.py): quantizes the block matmuls
-    # (mlp, qkv, proj, skip_linear); embeds/decoder/norms stay bf16/f32.
-    quant: bool = False
+    # quantized sampling views (ops/quant.py): True/"w8a8" = int8 W8A8
+    # on the block matmuls (mlp, qkv, proj, skip_linear); "w8" = int8
+    # weights with bf16 activations (adaptive-solver-safe — no
+    # activation-rounding noise in the field). Embeds/decoder/norms stay
+    # bf16/f32 in every view.
+    quant: Any = False
 
     @property
     def extras(self) -> int:

@@ -55,8 +55,8 @@ class UViTT2I(nn.Module):
     skip: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
-    # int8 W8A8 sampling view (ops/quant.py); see models/uvit.py
-    quant: bool = False
+    # quantized sampling views (True/"w8a8" | "w8"); see models/uvit.py
+    quant: Any = False
 
     @property
     def extras(self) -> int:

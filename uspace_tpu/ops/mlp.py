@@ -237,15 +237,71 @@ def _mlp_kernel_int8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
     o_ref[:] = x + out.astype(o_ref.dtype)
 
 
+def _mlp_kernel_w8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+                         w2_ref, s2_ref, b2_ref, o_ref, w1_v, w2_v, h_v,
+                         sem, *, hidden: int, eps: float):
+    """Weight-only int8 ("w8") whole MLP sub-block:
+    ``x + fc2(gelu(fc1(LN(x))))`` with int8 weights and bf16 activations
+    /matmuls. Same argument layout as :func:`_mlp_kernel_int8_lnres`.
+
+    Purpose: the bf16 twin of this kernel cannot run at the bench shape
+    (2 x [C, 4C] bf16 weights = 16.8 MB, over the ~16 MB VMEM budget),
+    which forces the bf16 sampling view onto the *unfused* XLA MLP — one
+    [rows, 4C] hidden round trip plus a [rows, C] LN round trip through
+    HBM per block. int8 weights (8.4 MB) fit resident; each column strip
+    is cast int8 -> bf16 right before its dot (the VPU cast overlaps MXU
+    work), the per-column scale folds into the f32 epilogue. Activations
+    are NEVER quantized, so the resulting field is a fixed, smooth
+    perturbation of the bf16 network — safe under adaptive step control,
+    where W8A8's activation-rounding noise inflates the embedded error
+    estimate and blows up NFE (docs/scaling.md)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
+        cp.start()
+        cp.wait()
+        cp2 = pltpu.make_async_copy(w2_ref, w2_v, sem)
+        cp2.start()
+        cp2.wait()
+
+    x = x_ref[:]
+    c = x.shape[-1]
+    mu = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True) / c
+    var = (jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                   keepdims=True) / c) - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    xln = ((x - mu.astype(x.dtype)) * inv
+           * lns_ref[0:1, :].astype(x.dtype)
+           + lnb_ref[0:1, :].astype(x.dtype))
+    hs = hidden // _COL_SLICES
+    for j in range(_COL_SLICES):
+        part = jax.lax.dot_general(
+            xln, w1_v[:, j * hs:(j + 1) * hs].astype(x.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * s1_ref[0:1, j * hs:(j + 1) * hs] \
+            + b1_ref[0:1, j * hs:(j + 1) * hs]
+        h_v[:, j * hs:(j + 1) * hs] = _gelu_exact(part).astype(h_v.dtype)
+    acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
+    for j in range(_COL_SLICES):
+        acc += jax.lax.dot_general(
+            h_v[:, j * hs:(j + 1) * hs],
+            w2_v[j * hs:(j + 1) * hs, :].astype(x.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    out = acc * s2_ref[0:1, :] + b2_ref[0:1, :]
+    o_ref[:] = x + out.astype(o_ref.dtype)
+
+
 def fused_mlp_block_q(
     x: Array, ln_scale: Array, ln_bias: Array,
     w1: Array, b1: Array, w2: Array, b2: Array,
     eps: float = 1e-5, interpret: Optional[bool] = None,
-    quant: bool = True,
+    quant=True,
 ) -> Array:
     """``x + fc2(gelu(fc1(LN(x))))`` — the complete pre-norm MLP
-    sub-block (inference-only). ``quant=True``: int8 projections;
-    ``quant=False``: bf16 projections (the view adaptive solvers use)."""
+    sub-block (inference-only). ``quant=True``: int8 W8A8 projections;
+    ``quant="w8"``: int8 weights, bf16 activations (the adaptive-solver-
+    safe quantized view); ``quant=False``: bf16 projections."""
     from .quant import quantize_colwise
 
     if interpret is None:
@@ -258,11 +314,13 @@ def fused_mlp_block_q(
     if quant:
         w1q, s1 = quantize_colwise(w1)
         w2q, s2 = quantize_colwise(w2)
+        kernel = (_mlp_kernel_w8_lnres if quant == "w8"
+                  else _mlp_kernel_int8_lnres)
         out = _call_mlp(
             x2d,
             (row(ln_scale), row(ln_bias), w1q, row(s1), row(b1),
              w2q, row(s2), row(b2)),
-            functools.partial(_mlp_kernel_int8_lnres, eps=eps),
+            functools.partial(kernel, eps=eps),
             hidden, c, interpret, weights_hbm_idx={2, 5},
         )
     else:
@@ -317,14 +375,49 @@ def _call_mlp(x2d, args, kernel, hidden, out_dim, interpret,
                             x2d, *args)
 
 
+def _mlp_kernel_w8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                   o_ref, w1_v, w2_v, h_v, sem, *, hidden: int):
+    """Weight-only int8 variant of :func:`_mlp_kernel_int8`: int8 weight
+    DMA (and residency — bf16 copies would not fit VMEM at the bench
+    shape), bf16 activations and matmuls, per-column scales folded into
+    the f32 epilogues. See :func:`_mlp_kernel_w8_lnres`."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
+        cp.start()
+        cp.wait()
+        cp2 = pltpu.make_async_copy(w2_ref, w2_v, sem)
+        cp2.start()
+        cp2.wait()
+
+    x = x_ref[:]
+    hs = hidden // _COL_SLICES
+    for j in range(_COL_SLICES):
+        part = jax.lax.dot_general(
+            x, w1_v[:, j * hs:(j + 1) * hs].astype(x.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * s1_ref[0:1, j * hs:(j + 1) * hs] \
+            + b1_ref[0:1, j * hs:(j + 1) * hs]
+        h_v[:, j * hs:(j + 1) * hs] = _gelu_exact(part).astype(h_v.dtype)
+    acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
+    for j in range(_COL_SLICES):
+        acc += jax.lax.dot_general(
+            h_v[:, j * hs:(j + 1) * hs],
+            w2_v[j * hs:(j + 1) * hs, :].astype(x.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    o_ref[:] = (acc * s2_ref[0:1, :] + b2_ref[0:1, :]).astype(o_ref.dtype)
+
+
 def fused_mlp(
     x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
-    quant: bool = False, interpret: Optional[bool] = None,
+    quant=False, interpret: Optional[bool] = None,
 ) -> Array:
     """``gelu(x @ w1 + b1) @ w2 + b2`` with the hidden tensor resident in
-    VMEM. ``x``: [..., C]; w1: [C, H]; w2: [H, C']. With ``quant=True``
-    both matmuls run int8 (weight quantization is loop-invariant and
-    hoisted out of the sampling scan). Inference-only."""
+    VMEM. ``x``: [..., C]; w1: [C, H]; w2: [H, C']. ``quant=True``: both
+    matmuls run int8 W8A8 (weight quantization is loop-invariant and
+    hoisted out of the sampling scan); ``quant="w8"``: int8 weights only,
+    bf16 matmuls. Inference-only."""
     if interpret is None:
         interpret = not _on_tpu()
     lead = x.shape[:-1]
@@ -340,7 +433,8 @@ def fused_mlp(
         w2q, s2 = quantize_colwise(w2)
         out = _call_mlp(
             x2d, (w1q, row(s1), row(b1), w2q, row(s2), row(b2)),
-            _mlp_kernel_int8, hidden, out_dim, interpret,
+            _mlp_kernel_w8 if quant == "w8" else _mlp_kernel_int8,
+            hidden, out_dim, interpret,
             weights_hbm_idx={0, 3},
         )
     elif (c * hidden + hidden * out_dim) * 2 > 12 * 2**20 and not interpret:
