@@ -231,6 +231,21 @@ class TestDistributedInit:
         initialize()  # no coordinator anywhere: returns without init
         initialize(num_processes=1)
 
+    def test_single_worker_hostnames_noop(self, monkeypatch):
+        """A single-entry TPU_WORKER_HOSTNAMES (tunneled/dev single-chip
+        runtimes export it) is NOT a multi-host signal — initialize()
+        must no-op instead of demanding a coordinator address."""
+        from uspace_tpu.parallel.distributed import initialize
+
+        for var in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                    "MEGASCALE_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(var, raising=False)
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+        initialize()  # single worker: returns without init
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+        with pytest.raises(Exception):
+            initialize()  # two workers, no coordinator: must fail fast
+
     def test_context_shape_fallbacks(self):
         from uspace_tpu.configs.common import base_config, context_shape, d
 

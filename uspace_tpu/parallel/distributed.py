@@ -29,12 +29,18 @@ def initialize(
         return  # already initialized
     import os
 
+    # TPU_WORKER_HOSTNAMES only signals multi-host when it lists MORE
+    # than one worker: single-chip runtimes (e.g. a tunneled dev chip)
+    # legitimately export it with one hostname, and treating that as a
+    # cluster would demand a coordinator no single-host launch has
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     multi_host = (coordinator_address is not None
                   or num_processes not in (None, 1)
                   or any(v in os.environ for v in (
                       "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-                      "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
-                  )))
+                      "MEGASCALE_COORDINATOR_ADDRESS",
+                  ))
+                  or len([h for h in hostnames.split(",") if h.strip()]) > 1)
     if not multi_host:
         return  # plain single-host launch: nothing to initialize
     # a genuine multi-host environment must fail FAST on init errors
