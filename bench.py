@@ -131,15 +131,26 @@ def bench_quality(params, rng):
 
 
 def bench_dopri5(params, rng):
-    """Reference eval-default solver (dopri5 rtol=atol=1e-5,
-    torchdiffeq's classic I controller/safety) on the bf16 LN-fused
-    view. Primary path: the fully-compiled on-device ``lax.while_loop``
-    (core.solvers.odeint_adaptive) with params as explicit jit arguments
-    — closure-captured params were what crashed the tunnel's compile
-    service on this program historically. Fallback (service still
-    rejects it): the host-driven loop with the ON-DEVICE controller
-    (program="stages_device"), blind-dispatching the warmup's step count
-    so there is no per-iteration fetch. Returns (img/s, nfe, path)."""
+    """Reference eval-default solver (dopri5 rtol=atol=1e-5) on the bf16
+    LN-fused view, measured at TWO controller-safety settings:
+
+    - torchdiffeq defaults (I controller, safety 0.9): the solve the
+      reference's eval_step literally runs — NFE 110 on this field;
+    - tuned safety 1.0, SAME tolerances and SAME acceptance test (every
+      accepted step still satisfies err <= tol; safety only removes the
+      conservative margin on the next-step prediction): NFE 80, zero
+      rejections, and the solution agrees with the default-safety one to
+      ~1e-4 rel-L2 (both ~2e-4 from an RK4-200 ground truth — measured,
+      docs/scaling.md). The tuned line is the headline dopri5 number;
+      the default line is reported alongside.
+
+    Primary path: the fully-compiled on-device ``lax.while_loop``
+    (core.solvers.odeint_adaptive) with params and safety as explicit
+    jit arguments — closure-captured params were what crashed the
+    tunnel's compile service on this program historically. Fallback
+    (service still rejects it): the host-driven loop with the ON-DEVICE
+    controller (program="stages_device"), blind-dispatching the warmup's
+    step count so there is no per-iteration fetch. Returns a dict."""
     from uspace_tpu.core import solvers
 
     model = _uvit(attn_impl="pallas_lnmlp")
@@ -151,37 +162,71 @@ def bench_dopri5(params, rng):
         return model.apply(p, x, tb)[0].astype(jnp.float32)
 
     @jax.jit
-    def run_device(p, rng):
+    def run_device(p, rng, safety):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
         x1, s = solvers.odeint_adaptive(
             lambda t, x: vf(t, x, p), z, 0.0, 1.0, method="dopri5",
-            rtol=1e-5, atol=1e-5, controller="i", return_stats=True)
-        return x1.mean(), s["nfe"]
+            rtol=1e-5, atol=1e-5, controller="i", safety=safety,
+            return_stats=True)
+        return x1.mean(), s["nfe"], s["steps"] - s["accepted"]
+
+    def measure(safety):
+        # warm at this safety (trip count differs; same executable)
+        out = run_device(params, rng, jnp.float32(safety))
+        _ = float(out[0])
+        t0 = time.perf_counter()
+        out, nfe, rej = run_device(params, jax.random.fold_in(rng, 1),
+                                   jnp.float32(safety))
+        _ = float(out)
+        return BATCH / (time.perf_counter() - t0), int(nfe), int(rej)
 
     try:
-        out, nfe = run_device(params, rng)
-        _ = float(out)  # compile + warm
-        t0 = time.perf_counter()
-        out, nfe = run_device(params, jax.random.fold_in(rng, 1))
-        _ = float(out)
-        return (BATCH / (time.perf_counter() - t0), int(nfe),
-                "compiled-while-loop")
+        ips_def, nfe_def, _ = measure(0.9)
+        ips_tuned, nfe_tuned, rej_tuned = measure(1.0)
+        return {
+            "dopri5_imgs_per_sec": round(ips_tuned, 2),
+            "dopri5_nfe": nfe_tuned,
+            "dopri5_safety": 1.0,
+            "dopri5_rejections": rej_tuned,
+            "dopri5_torchdiffeq_default_imgs_per_sec": round(ips_def, 2),
+            "dopri5_torchdiffeq_default_nfe": nfe_def,
+            "dopri5_path": "compiled-while-loop",
+            # Euler-50 baseline scaled to the DEFAULT solve's NFE: the
+            # adaptive solver does nfe/50 x the field work per image, so
+            # per-NFE throughput is the like-for-like comparison (the
+            # reference's own torchdiffeq defaults incur the same NFE)
+            "dopri5_vs_baseline_equal_nfe": round(
+                ips_def / (BASELINE_A100_IMG_PER_SEC * STEPS / nfe_def), 3),
+        }
     except Exception:
         _wait_backend()
 
-    def run(rng, expected=None):
+    def run(rng, safety, expected=None):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
         x1, s = solvers.odeint_adaptive_host(
             vf, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
-            controller="i", return_stats=True, program="stages_device",
-            vf_params=params, expected_steps=expected)
+            controller="i", safety=safety, return_stats=True,
+            program="stages_device", vf_params=params,
+            expected_steps=expected)
         return float(x1.mean()), s
 
-    _, s = run(rng)  # compile + warm; learns the step count
-    t0 = time.perf_counter()
-    _, s = run(jax.random.fold_in(rng, 1), expected=s["steps"])
-    dt = time.perf_counter() - t0
-    return BATCH / dt, int(s["nfe"]), "stages-device-fallback"
+    out = {"dopri5_path": "stages-device-fallback"}
+    for safety, key in ((1.0, ""), (0.9, "torchdiffeq_default_")):
+        _, s = run(rng, safety)  # compile + warm; learns the step count
+        t0 = time.perf_counter()
+        _, s = run(jax.random.fold_in(rng, 1), safety,
+                   expected=s["steps"])
+        dt = time.perf_counter() - t0
+        out[f"dopri5_{key}imgs_per_sec"] = round(BATCH / dt, 2)
+        out[f"dopri5_{key}nfe"] = int(s["nfe"])
+        if not key:
+            out["dopri5_safety"] = safety
+            out["dopri5_rejections"] = int(s["steps"]) - int(s["accepted"])
+        else:
+            out["dopri5_vs_baseline_equal_nfe"] = round(
+                (BATCH / dt) / (BASELINE_A100_IMG_PER_SEC * STEPS
+                                / int(s["nfe"])), 3)
+    return out
 
 
 def bench_e2e(params, rng):
@@ -473,14 +518,7 @@ def run_section(key):
         out = {"e2e_imgs_per_sec": round(
             bench_e2e(params, jax.random.fold_in(rng, 5)), 2)}
     elif key == "dopri5":
-        ips, nfe, path = bench_dopri5(params, jax.random.fold_in(rng, 4))
-        out = {"dopri5_imgs_per_sec": round(ips, 2), "dopri5_nfe": nfe,
-               "dopri5_path": path,
-               # the Euler-50 baseline scaled to this solve's NFE: the
-               # adaptive solver does nfe/50 x the field work per image,
-               # so per-NFE throughput is the like-for-like comparison
-               "dopri5_vs_baseline_equal_nfe": round(
-                   ips / (BASELINE_A100_IMG_PER_SEC * STEPS / nfe), 3)}
+        out = bench_dopri5(params, jax.random.fold_in(rng, 4))
     elif key == "t2i":
         out = {"t2i_imgs_per_sec": round(
             bench_t2i(jax.random.fold_in(rng, 6)), 2)}
