@@ -17,9 +17,11 @@ gate is reported alongside. The deeper 3k-step proof lives in
 docs/quant_trained.md.
 
 Also reported:
-- train_imgs_per_sec_per_chip: bf16 + remat + packed attention kernel
-  (fused Pallas fwd+bwd) + in-step moments resampling at the reference
-  per-GPU batch (global 512 over 4 GPUs -> 128/chip, `README.md:76`).
+- train_imgs_per_sec_per_chip: bf16 + partial remat (12 of 21 blocks
+  un-rematted; value/grad-identical, backward skips their forward
+  recompute) + packed attention kernel (fused Pallas fwd+bwd) +
+  in-step moments resampling at the reference per-GPU batch (global
+  512 over 4 GPUs -> 128/chip, `README.md:76`).
 - dopri5_imgs_per_sec: the reference eval_step's decode default
   (dopri5 rtol=atol=1e-5, `/root/reference/train_lfm.py:200` +
   `flow_matching.py:11-12`) on the bf16 LN-fused view, torchdiffeq's
@@ -366,28 +368,34 @@ def bench_unet(rng):
 
 
 def bench_train(params, rng):
-    """Training img/s/chip: bf16 + remat + packed kernel (fused Pallas
-    fwd AND bwd) + moments resampling, at the reference per-GPU batch
-    (128) with fallback. Also returns a briefly-trained EMA param tree
-    for the trained-weights quality gate."""
+    """Training img/s/chip: bf16 + partial remat + packed kernel (fused
+    Pallas fwd AND bwd) + moments resampling, at the reference per-GPU
+    batch (128) with fallback. remat_exempt=12 leaves 12 of the 21
+    blocks un-rematted (HBM has room at batch 128; 16 OOMs): measured
+    213.0 vs 194.6 img/s for full remat — backward skips those blocks'
+    forward recompute, values and grads identical (test_models.py).
+    Falls back to full remat, then batch 64, on OOM. Also returns a
+    briefly-trained EMA param tree for the trained-weights quality
+    gate."""
     from uspace_tpu.train.state import TrainState, get_lr_schedule, get_optimizer
     from uspace_tpu.train.step import make_train_step
 
-    model = _uvit(use_checkpoint=True, attn_impl="pallas_packed")
     lr = get_lr_schedule("customized", 2e-4, warmup_steps=100)
     tx = get_optimizer("adam", lr, betas=(0.99, 0.99), weight_decay=0.03)
-    # dispatch loop over ONE donated step, not a fori-chain: a fori
-    # wrapper double-buffers the 4.8 GB TrainState carry and crashes the
-    # worker at batch 128; per-step dispatch is async (steps pipeline on
-    # device) and costs ~30 ms once at the final fetch
-    step = jax.jit(make_train_step(model, tx, lr_schedule=lr,
-                                   ema_rate=0.995,
-                                   latents_from_moments=True),
-                   donate_argnums=(0,))
     reps = 8
 
-    for bs in (128, 64):
+    for bs, exempt in ((128, 12), (128, 0), (64, 0)):
         try:
+            model = _uvit(use_checkpoint=True, attn_impl="pallas_packed",
+                          remat_exempt=exempt)
+            # dispatch loop over ONE donated step, not a fori-chain: a
+            # fori wrapper double-buffers the 4.8 GB TrainState carry and
+            # crashes the worker at batch 128; per-step dispatch is async
+            # (steps pipeline on device), ~30 ms once at the final fetch
+            step = jax.jit(make_train_step(model, tx, lr_schedule=lr,
+                                           ema_rate=0.995,
+                                           latents_from_moments=True),
+                           donate_argnums=(0,))
             # the donated step consumes the state's buffers, and
             # TrainState.create references `params` directly — train on a
             # copy so the caller's params survive for later sections
@@ -408,11 +416,11 @@ def bench_train(params, rng):
                 state, m = step(state, batch,
                                 jax.random.fold_in(rng, 1000 + i))
             _ = float(m["loss"])
-            return ips, bs, {"params": state.ema_params["params"]}
-        except Exception:  # OOM at 128: retry at the round-1 batch
+            return ips, bs, exempt, {"params": state.ema_params["params"]}
+        except Exception:  # OOM: full remat, then the round-1 batch
             if bs == 64:
                 raise
-    return 0.0, 0, None
+    return 0.0, 0, 0, None
 
 
 def _wait_backend(max_wait=240):
@@ -477,9 +485,11 @@ def _run_core():
         out["quality_error"] = f"{type(e).__name__}: {e}"[:120]
     trained = None
     try:
-        train_ips, train_bs, trained = attempt(bench_train, params, rng)
+        train_ips, train_bs, train_ex, trained = attempt(
+            bench_train, params, rng)
         out["train_imgs_per_sec_per_chip"] = round(train_ips, 2)
         out["train_batch_per_chip"] = train_bs
+        out["train_remat_exempt_blocks"] = train_ex
         emit()
     except Exception as e:
         out["train_error"] = f"{type(e).__name__}: {e}"[:120]

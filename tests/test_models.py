@@ -135,6 +135,29 @@ class TestUViT:
         v2, _ = m2.apply(params, x, t)
         np.testing.assert_allclose(v1, v2, atol=1e-6)
 
+    def test_remat_exempt_matches(self, rng):
+        """Partial remat (remat_exempt blocks kept un-rematted) must be
+        value- AND gradient-identical to full remat, with the same param
+        tree — it only changes what backward recomputes."""
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        t = jnp.full((2,), 0.5)
+        m_full = UViT(use_checkpoint=True, **SMALL)
+        m_part = UViT(use_checkpoint=True, remat_exempt=2, **SMALL)
+        params = m_full.init(rng, x, t)
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(m_part.init(rng, x, t))
+        v1, _ = m_full.apply(params, x, t)
+        v2, _ = m_part.apply(params, x, t)
+        np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+        def loss(m):
+            return lambda p: jnp.sum(m.apply(p, x, t)[0] ** 2)
+
+        g1 = jax.grad(loss(m_full))(params)
+        g2 = jax.grad(loss(m_part))(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
     def test_registry(self):
         m = get_nnet("uvit", **SMALL)
         assert isinstance(m, UViT)

@@ -147,7 +147,7 @@ def uvit_nnet(embed_dim=512, depth=16, num_heads=8, **kw):
         name="uvit", img_size=32, patch_size=2, in_chans=4,
         embed_dim=embed_dim, depth=depth, num_heads=num_heads,
         mlp_ratio=4.0, qkv_bias=False, mlp_time_embed=False,
-        num_classes=-1, use_checkpoint=True,
+        num_classes=-1, use_checkpoint=True, remat_exempt=0,
     )
     cfg.update(kw)
     return cfg
@@ -159,6 +159,7 @@ def uvit_t2i_nnet(embed_dim=1024, depth=20, num_heads=16, **kw):
         embed_dim=embed_dim, depth=depth, num_heads=num_heads,
         mlp_ratio=4.0, qkv_bias=False, mlp_time_embed=False,
         clip_dim=768, num_clip_token=77, use_checkpoint=True,
+        remat_exempt=0,
     )
     cfg.update(kw)
     return cfg

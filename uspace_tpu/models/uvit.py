@@ -63,6 +63,9 @@ class UViT(nn.Module):
     mlp_time_embed: bool = False
     num_classes: int = -1
     use_checkpoint: bool = False
+    # with use_checkpoint: number of blocks (evenly spread over depth)
+    # EXEMPTED from remat — trades HBM for skipped backward recompute
+    remat_exempt: int = 0
     conv: bool = True
     skip: bool = True
     dtype: Any = jnp.float32
@@ -137,11 +140,24 @@ class UViT(nn.Module):
         )
         x = x + pos_embed.astype(self.dtype)
 
-        # remat per block trades recompute for HBM, like torch checkpointing
-        block_cls = nn.remat(Block) if self.use_checkpoint else Block
+        # remat per block trades recompute for HBM, like torch
+        # checkpointing. remat_exempt > 0 leaves that many blocks
+        # (spread evenly over depth) UN-rematted: each exempt block
+        # skips one forward recompute in backward at the cost of keeping
+        # its internal activations — a throughput/HBM dial full-remat
+        # torch checkpointing doesn't have. Param tree paths are
+        # identical either way (remat does not change scopes).
+        rblock = nn.remat(Block)
+        total_blocks = self.depth + 1
+        k = min(self.remat_exempt, total_blocks) if self.use_checkpoint \
+            else 0
+        exempt = {int(j * total_blocks / k) for j in range(k)} if k \
+            else set()
 
-        def make_block(skip: bool, name: str):
-            return block_cls(
+        def make_block(skip: bool, name: str, idx: int):
+            cls = Block if (not self.use_checkpoint or idx in exempt) \
+                else rblock
+            return cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale, skip=skip,
                 dtype=self.dtype, attn_impl=self.attn_impl,
@@ -150,10 +166,10 @@ class UViT(nn.Module):
 
         skips = []
         for i in range(self.depth // 2):
-            x = make_block(False, f"in_blocks_{i}")(x)
+            x = make_block(False, f"in_blocks_{i}", i)(x)
             skips.append(x)
 
-        x = make_block(False, "mid_block")(x)
+        x = make_block(False, "mid_block", self.depth // 2)(x)
 
         if edit is not None and edit.loc == "mid":
             x = edit.apply(x, t_scalar)
@@ -161,7 +177,8 @@ class UViT(nn.Module):
             taps["mid"] = x
 
         for i in range(self.depth // 2):
-            x = make_block(True, f"out_blocks_{i}")(x, skips.pop())
+            x = make_block(True, f"out_blocks_{i}",
+                           self.depth // 2 + 1 + i)(x, skips.pop())
 
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
         patch_dim = self.patch_size**2 * self.in_chans

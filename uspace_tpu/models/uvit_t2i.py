@@ -51,6 +51,8 @@ class UViTT2I(nn.Module):
     clip_dim: int = 768
     num_clip_token: int = 77
     use_checkpoint: bool = False
+    # with use_checkpoint: blocks exempted from remat (models/uvit.py)
+    remat_exempt: int = 0
     conv: bool = True
     skip: bool = True
     dtype: Any = jnp.float32
@@ -127,10 +129,19 @@ class UViTT2I(nn.Module):
                 quant=self.quant, name=name,
             )
 
+        # remat_exempt blocks (evenly spread) skip remat: see models/uvit.py
+        total_blocks = self.depth + 1
+        k = min(self.remat_exempt, total_blocks) if self.use_checkpoint \
+            else 0
+        exempt = {int(j * total_blocks / k) for j in range(k)} if k \
+            else set()
+
         def run(blk_args, x, skip, block_id):
             cap = block_id in capture_attn
             plain = not cap and attn_edit is None
-            blk = make_block(*blk_args, use_remat=self.use_checkpoint and plain)
+            blk = make_block(*blk_args,
+                             use_remat=self.use_checkpoint and plain
+                             and block_id not in exempt)
             if plain:
                 # array-only call (remat-safe); attention editing inactive
                 return blk(x, skip) if skip is not None else blk(x)
