@@ -38,8 +38,17 @@ except Exception:  # pragma: no cover
 
 Array = jax.Array
 
-_ROW_TILE = 256
-_COL_SLICES = 8  # fc1 output computed in hidden/_COL_SLICES column strips
+# Tile shape swept end-to-end on the v5e int8 sampler (r3): the MXU dot
+# rate rises with the row-tile M (isolated probe: 166 TFLOP/s at M=256 ->
+# 206 at M=512 for int8 [M,1024]x[1024,512]), but past ~448 rows the
+# kernel loses more to pipelining/VMEM pressure than the dots gain
+# (sampler img/s: 256/8: 23.52, 384/8: 23.63, 384/4: 23.77, 448/4:
+# 23.85, 512/4: 23.19, 512/8: 22.97). 448/4 needs the scoped-VMEM raise.
+_ROW_TILE = 448
+_COL_SLICES = 4  # fc1 output computed in hidden/_COL_SLICES column strips
+# raise Mosaic's scoped-VMEM ceiling (default 16MB) for the tile sizes
+# above; None = compiler default
+_VMEM_LIMIT: Optional[int] = 32 * 2**20
 
 
 def _on_tpu() -> bool:
@@ -145,8 +154,17 @@ def _mlp_kernel_bf16_lnres(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
 def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                      o_ref, w1_v, w2_v, h_v, sem, *, hidden: int):
     """int8 variant: weights arrive pre-quantized (int8 + per-column f32
-    scales); activations and the hidden tile are row-quantized on the
-    VPU; both matmuls run int8 x int8 -> int32 on the MXU."""
+    scales); activations are row-quantized on the VPU; both matmuls run
+    int8 x int8 -> int32 on the MXU.
+
+    The hidden tile is quantized PER COLUMN STRIP in the fc1 epilogue
+    (scale = per-row amax of that [rows, hidden/_COL_SLICES] strip):
+    the f32 GELU output is still in registers, so the int8 copy is the
+    only hidden tensor that ever materializes (vs the earlier per-full-
+    row scheme, which stored a bf16 hidden tile and re-read it f32 for a
+    second quantization pass). Strip scales are finer-grained than a
+    whole-row scale, so precision only improves; fc2 accumulates per
+    strip in f32 (int32 strip dot x strip scale)."""
     @pl.when(pl.program_id(0) == 0)
     def _load():
         cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
@@ -161,7 +179,8 @@ def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     xq = jnp.round(x * (127.0 / amax)).astype(jnp.int8)
     xs = amax * (1.0 / 127.0)  # [rows, 1]
     hs = hidden // _COL_SLICES
-    # fc1 + GELU, column strips; h kept bf16 in VMEM
+    # fc1 + GELU + per-strip quantization, fused per column strip
+    hscales = []
     for j in range(_COL_SLICES):
         part = jax.lax.dot_general(
             xq, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
@@ -170,20 +189,20 @@ def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
         deq = (part.astype(jnp.float32) * xs
                * s1_ref[0:1, j * hs:(j + 1) * hs]
                + b1_ref[0:1, j * hs:(j + 1) * hs])
-        h_v[:, j * hs:(j + 1) * hs] = _gelu_exact(deq).astype(h_v.dtype)
-    # row-quantize the hidden tile (amax over the full row)
-    hf = h_v[:].astype(jnp.float32)
-    hmax = jnp.maximum(jnp.max(jnp.abs(hf), axis=-1, keepdims=True), 1e-8)
-    hscale = hmax * (1.0 / 127.0)
-    acc = jnp.zeros((xq.shape[0], o_ref.shape[-1]), jnp.int32)
+        g = _gelu_exact(deq)
+        smax = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True),
+                           1e-8)
+        h_v[:, j * hs:(j + 1) * hs] = jnp.round(
+            g * (127.0 / smax)).astype(jnp.int8)
+        hscales.append(smax * (1.0 / 127.0))
+    acc = jnp.zeros((xq.shape[0], o_ref.shape[-1]), jnp.float32)
     for j in range(_COL_SLICES):
-        hq = jnp.round(hf[:, j * hs:(j + 1) * hs] * (127.0 / hmax)
-                       ).astype(jnp.int8)
-        acc += jax.lax.dot_general(
-            hq, w2_v[j * hs:(j + 1) * hs, :],
+        d = jax.lax.dot_general(
+            h_v[:, j * hs:(j + 1) * hs], w2_v[j * hs:(j + 1) * hs, :],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
         )
-    out = acc.astype(jnp.float32) * hscale * s2_ref[0:1, :] + b2_ref[0:1, :]
+        acc += d.astype(jnp.float32) * hscales[j]
+    out = acc * s2_ref[0:1, :] + b2_ref[0:1, :]
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -191,7 +210,10 @@ def _mlp_kernel_int8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
                            w2_ref, s2_ref, b2_ref, o_ref, w1_v, w2_v, h_v,
                            sem, *, hidden: int, eps: float):
     """Whole MLP sub-block, int8: ``x + fc2(gelu(fc1(LN(x))))``. The LN
-    output, hidden tensor and fc2 input never touch HBM."""
+    output, hidden tensor and fc2 input never touch HBM. Hidden
+    quantization is per column strip in the fc1 epilogue (see
+    :func:`_mlp_kernel_int8` — finer scales, no bf16 hidden tile, no
+    second quantization pass)."""
     @pl.when(pl.program_id(0) == 0)
     def _load():
         cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
@@ -213,6 +235,7 @@ def _mlp_kernel_int8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
     xq = jnp.round(xln * (127.0 / amax)).astype(jnp.int8)
     xs = amax * (1.0 / 127.0)
     hs = hidden // _COL_SLICES
+    hscales = []
     for j in range(_COL_SLICES):
         part = jax.lax.dot_general(
             xq, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
@@ -221,19 +244,20 @@ def _mlp_kernel_int8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
         deq = (part.astype(jnp.float32) * xs
                * s1_ref[0:1, j * hs:(j + 1) * hs]
                + b1_ref[0:1, j * hs:(j + 1) * hs])
-        h_v[:, j * hs:(j + 1) * hs] = _gelu_exact(deq).astype(h_v.dtype)
-    hf = h_v[:].astype(jnp.float32)
-    hmax = jnp.maximum(jnp.max(jnp.abs(hf), axis=-1, keepdims=True), 1e-8)
-    hscale = hmax * (1.0 / 127.0)
-    acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.int32)
+        g = _gelu_exact(deq)
+        smax = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True),
+                           1e-8)
+        h_v[:, j * hs:(j + 1) * hs] = jnp.round(
+            g * (127.0 / smax)).astype(jnp.int8)
+        hscales.append(smax * (1.0 / 127.0))
+    acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
     for j in range(_COL_SLICES):
-        hq = jnp.round(hf[:, j * hs:(j + 1) * hs] * (127.0 / hmax)
-                       ).astype(jnp.int8)
-        acc += jax.lax.dot_general(
-            hq, w2_v[j * hs:(j + 1) * hs, :],
+        d = jax.lax.dot_general(
+            h_v[:, j * hs:(j + 1) * hs], w2_v[j * hs:(j + 1) * hs, :],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
         )
-    out = acc.astype(jnp.float32) * hscale * s2_ref[0:1, :] + b2_ref[0:1, :]
+        acc += d.astype(jnp.float32) * hscales[j]
+    out = acc * s2_ref[0:1, :] + b2_ref[0:1, :]
     o_ref[:] = x + out.astype(o_ref.dtype)
 
 
@@ -322,6 +346,7 @@ def fused_mlp_block_q(
              w2q, row(s2), row(b2)),
             functools.partial(kernel, eps=eps),
             hidden, c, interpret, weights_hbm_idx={2, 5},
+            h_dtype=None if quant == "w8" else jnp.int8,
         )
     else:
         out = _call_mlp(
@@ -335,7 +360,7 @@ def fused_mlp_block_q(
 
 
 def _call_mlp(x2d, args, kernel, hidden, out_dim, interpret,
-              weights_hbm_idx):
+              weights_hbm_idx, h_dtype=None):
     rows, c = x2d.shape
     vmem = pltpu.VMEM if (_HAS_PLTPU and not interpret) else None
     anyspace = pl.ANY if (_HAS_PLTPU and not interpret) else None
@@ -362,9 +387,14 @@ def _call_mlp(x2d, args, kernel, hidden, out_dim, interpret,
             scratch_shapes=[
                 pltpu.VMEM((c, hidden), wdtype),
                 pltpu.VMEM((hidden, out_dim), wdtype),
-                pltpu.VMEM((_ROW_TILE, hidden), x2d.dtype),
+                # int8 kernels store the hidden tile quantized (per-strip
+                # scales); bf16/w8 kernels keep it in the activation dtype
+                pltpu.VMEM((_ROW_TILE, hidden), h_dtype or x2d.dtype),
                 pltpu.SemaphoreType.DMA(()),
             ],
+            compiler_params=(
+                pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+                if (_VMEM_LIMIT and _HAS_PLTPU and not interpret) else None),
             interpret=interpret,
         )(xp, *args)
         return out[:r]
@@ -436,6 +466,7 @@ def fused_mlp(
             _mlp_kernel_w8 if quant == "w8" else _mlp_kernel_int8,
             hidden, out_dim, interpret,
             weights_hbm_idx={0, 3},
+            h_dtype=None if quant == "w8" else jnp.int8,
         )
     elif (c * hidden + hidden * out_dim) * 2 > 12 * 2**20 and not interpret:
         # bf16 weights would overflow the ~16MB VMEM budget resident;

@@ -1,12 +1,16 @@
 """Int8 (W8A8) quantized matmul path for the sampling model view.
 
-TPU v5e executes int8 x int8 -> int32 on the MXU at 2x the bf16 rate
-(394 TOPS vs 197 TFLOPS peak). The bf16 sampler is already ~88% MFU
-(`bench.py`, ops/attention.py kernel ladder), so the remaining headroom
-to the >=2x-A100 north star is a precision-level change: quantize the
-big projection matmuls (MLP fc1/fc2, attention qkv/proj, skip_linear —
+TPU v5e specs int8 x int8 -> int32 on the MXU at 2x the bf16 rate
+(394 TOPS vs 197 TFLOPS peak). Measured in-kernel on this stack (r3
+probe, VMEM-resident chained dots): int8 reaches 166-210 TFLOP/s vs
+120-138 for bf16 at the kernels' tile shapes — i.e. ~1.5x realized, not
+2x, and rising with the row-tile size. The bf16 sampler was already
+near its compute ceiling, so the headroom to the >=2x-A100 north star
+is this precision-level change plus traffic: quantize the big
+projection matmuls (MLP fc1/fc2, attention qkv/proj, skip_linear —
 together ~92% of U-ViT FLOPs) to int8 while keeping softmax, LayerNorm,
-GELU, residuals and accumulation in f32/bf16.
+GELU, residuals and accumulation in f32/bf16; int8 weights also halve
+the HBM/DMA bytes and let a whole MLP's weights sit resident in VMEM.
 
 Scheme (standard W8A8 dynamic quantization):
 - weights: symmetric per-output-channel scales, quantized once per jit
