@@ -77,6 +77,113 @@ class TestTrainStep:
         assert np.isfinite(np.asarray(out)).all()
 
 
+class TestFusedAdam:
+    """The fused single-pass Adam+EMA update (train/step._fused_adam_ema)
+    must match the optax chain it replaces AND torch.optim.Adam (the
+    reference's optimizer, `tools/utils_uvit.py:50-78`) step for step."""
+
+    def test_fused_matches_chain_and_torch(self):
+        import optax
+        import torch
+
+        from uspace_tpu.train.state import FusedAdam
+        from uspace_tpu.train.step import _fused_adam_ema
+
+        rng = jax.random.PRNGKey(3)
+        params = {"a": jax.random.normal(rng, (16, 8)),
+                  "b": jnp.ones((8,)) * 0.5}
+        lr = get_lr_schedule("customized", 1e-2, warmup_steps=3)
+        tx = get_optimizer("adam", lr, betas=(0.9, 0.99), weight_decay=0.03)
+        assert isinstance(tx, FusedAdam)
+        state_f = TrainState.create(params, tx)
+        state_c = TrainState.create(params, tx)
+
+        tparams = {k: torch.tensor(np.asarray(v), requires_grad=True)
+                   for k, v in params.items()}
+        topt = torch.optim.Adam(tparams.values(), lr=1.0, betas=(0.9, 0.99),
+                                eps=1e-8, weight_decay=0.03)
+
+        for i in range(5):
+            g = {k: jax.random.normal(jax.random.fold_in(rng, 10 * i + j),
+                                      v.shape) * 0.1
+                 for j, (k, v) in enumerate(params.items())}
+            # fused single-pass path
+            p_f, e_f, os_f = _fused_adam_ema(tx, state_f, g, ema_rate=0.9)
+            state_f = state_f.replace(step=state_f.step + 1, params=p_f,
+                                      ema_params=e_f, opt_state=os_f)
+            # plain optax chain + apply + ema
+            upd, os_c = tx.update(g, state_c.opt_state, state_c.params)
+            p_c = optax.apply_updates(state_c.params, upd)
+            e_c = ema_update(p_c, state_c.ema_params, 0.9)
+            state_c = state_c.replace(step=state_c.step + 1, params=p_c,
+                                      ema_params=e_c, opt_state=os_c)
+            # torch Adam (schedule applied as per-step lr)
+            for k, tp in tparams.items():
+                tp.grad = torch.tensor(np.asarray(g[k]))
+            for group in topt.param_groups:
+                group["lr"] = float(lr(i))
+            topt.step()
+
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(state_f.params[k]), np.asarray(state_c.params[k]),
+                rtol=1e-5, atol=1e-7, err_msg=f"fused vs chain: {k}")
+            np.testing.assert_allclose(
+                np.asarray(state_f.params[k]),
+                tparams[k].detach().numpy(),
+                rtol=1e-5, atol=1e-6, err_msg=f"fused vs torch: {k}")
+            np.testing.assert_allclose(
+                np.asarray(state_f.ema_params[k]),
+                np.asarray(state_c.ema_params[k]),
+                rtol=1e-5, atol=1e-7, err_msg=f"ema: {k}")
+        # opt_state structure and moments identical (checkpoint compat)
+        assert jax.tree.structure(state_f.opt_state) == \
+            jax.tree.structure(state_c.opt_state)
+        for a, b in zip(jax.tree.leaves(state_f.opt_state),
+                        jax.tree.leaves(state_c.opt_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_fused_adamw_matches_chain(self):
+        import optax
+
+        from uspace_tpu.train.state import FusedAdam
+        from uspace_tpu.train.step import _fused_adam_ema
+
+        rng = jax.random.PRNGKey(4)
+        params = {"w": jax.random.normal(rng, (8, 8))}
+        lr = get_lr_schedule("customized", 5e-3, warmup_steps=0)
+        tx = get_optimizer("adamw", lr, betas=(0.9, 0.999),
+                           weight_decay=0.1)
+        assert isinstance(tx, FusedAdam)
+        state_f = TrainState.create(params, tx)
+        state_c = TrainState.create(params, tx)
+        for i in range(4):
+            g = {"w": jax.random.normal(jax.random.fold_in(rng, i),
+                                        (8, 8)) * 0.2}
+            p_f, e_f, os_f = _fused_adam_ema(tx, state_f, g, ema_rate=0.99)
+            state_f = state_f.replace(step=state_f.step + 1, params=p_f,
+                                      ema_params=e_f, opt_state=os_f)
+            upd, os_c = tx.update(g, state_c.opt_state, state_c.params)
+            p_c = optax.apply_updates(state_c.params, upd)
+            e_c = ema_update(p_c, state_c.ema_params, 0.99)
+            state_c = state_c.replace(step=state_c.step + 1, params=p_c,
+                                      ema_params=e_c, opt_state=os_c)
+        np.testing.assert_allclose(np.asarray(state_f.params["w"]),
+                                   np.asarray(state_c.params["w"]),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(state_f.ema_params["w"]),
+                                   np.asarray(state_c.ema_params["w"]),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_grad_clip_falls_back_to_chain(self):
+        from uspace_tpu.train.state import FusedAdam
+
+        lr = get_lr_schedule("customized", 1e-3)
+        tx = get_optimizer("adam", lr, grad_clip=1.0)
+        assert not isinstance(tx, FusedAdam)
+
+
 class TestMeshSharding:
     def test_mesh_axes(self):
         m = meshlib.create_mesh(dp=2, fsdp=2, tp=2)

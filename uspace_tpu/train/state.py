@@ -10,6 +10,7 @@ train step (the reference loops over parameters on host, utils_uvit.py:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Optional
 
 import jax
@@ -18,6 +19,37 @@ import optax
 from flax import struct
 
 Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedAdam:
+    """Adam/AdamW with hyperparameters exposed for the fused train-step
+    update path.
+
+    Duck-types the ``optax.GradientTransformation`` interface by
+    delegating to the equivalent optax chain, so anything that only
+    calls ``init``/``update`` (and checkpoints of ``opt_state``) is
+    bit-identical to the plain chain. ``train.step.make_train_step``
+    detects this type and replaces the chain's separate tree passes
+    (decay + moments + bias correction + lr + apply + EMA lerp) with
+    ONE fused pass per leaf computing (params', mu', nu', ema')
+    together — structural single-pass traffic instead of an XLA-fusion
+    outcome (measured neutral at the bench shape, where XLA already
+    fused the chain; see train/step._fused_adam_ema)."""
+
+    chain: optax.GradientTransformation
+    mode: str  # "adam" (L2 folded into grad) | "adamw" (decoupled)
+    b1: float
+    b2: float
+    eps: float
+    weight_decay: float
+    lr_schedule: Callable
+
+    def init(self, params):
+        return self.chain.init(params)
+
+    def update(self, grads, state, params=None):
+        return self.chain.update(grads, state, params)
 
 
 def get_lr_schedule(name: str = "customized", base_lr: float = 1e-4,
@@ -66,7 +98,13 @@ def get_optimizer(
     else:
         raise NotImplementedError(name)
     chain.append(optax.scale_by_learning_rate(lr_schedule or 1e-4))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if grad_clip is None and callable(lr_schedule or None):
+        # expose hyperparameters so the train step can fuse the whole
+        # update (clip needs a global-norm barrier first — keep generic)
+        return FusedAdam(chain=tx, mode=name, b1=b1, b2=b2, eps=eps,
+                         weight_decay=weight_decay, lr_schedule=lr_schedule)
+    return tx
 
 
 class TrainState(struct.PyTreeNode):

@@ -17,9 +17,78 @@ import jax.numpy as jnp
 import optax
 
 from ..core import flow, interpolant
-from .state import TrainState, ema_update
+from .state import FusedAdam, TrainState, ema_update
 
 Array = jax.Array
+
+
+def _fused_adam_ema(tx: FusedAdam, state: TrainState, grads,
+                    ema_rate: float):
+    """One pass over the parameter tree: (L2|decoupled) weight decay +
+    Adam moments + bias correction + LR + parameter apply + EMA lerp,
+    all inside one elementwise kernel per leaf.
+
+    Guarantees the update is ONE pass over the ~10 GB of state traffic
+    (params+grads+mu+nu+ema read, mu+nu+params+ema written) instead of
+    relying on XLA to fuse the optax chain + ``apply_updates`` +
+    ``ema_update`` graphs. Measured at the bench shape (U-ViT-large,
+    batch 128, v5e): neutral vs the chain (601 vs 603 ms/step) — XLA
+    already fused the chain's elementwise passes there; the remaining
+    ~43 ms opt+EMA wall cost is donation/HBM-pressure scheduling, not
+    tree-pass traffic. Kept because it makes the one-pass property
+    structural rather than an XLA-fusion outcome (and pins the
+    optimizer semantics under test).
+    Semantics match ``optax.scale_by_adam`` exactly: mu_hat/nu_hat use
+    ``count+1`` bias correction, update = mu_hat/(sqrt(nu_hat)+eps);
+    "adam" folds ``wd*p`` into the gradient BEFORE the moments (torch
+    Adam L2, reference `tools/utils_uvit.py:50-78`), "adamw" adds it to
+    the update after. LR comes from ``tx.lr_schedule(count)`` like
+    ``optax.scale_by_schedule``. Equivalence is pinned by
+    tests/test_train.py against the optax chain and torch.optim.Adam.
+
+    Returns ``(new_params, new_ema, new_opt_state)`` with ``opt_state``
+    structurally identical to the chain's (checkpoint-compatible)."""
+    adam_states = [s for s in state.opt_state
+                   if isinstance(s, optax.ScaleByAdamState)]
+    st = adam_states[0]
+    count_inc = st.count + 1
+    tf = count_inc.astype(jnp.float32)
+    lr = tx.lr_schedule(st.count)
+    b1, b2, eps, wd = tx.b1, tx.b2, tx.eps, tx.weight_decay
+    c1 = 1.0 - b1 ** tf
+    c2 = 1.0 - b2 ** tf
+
+    p_l, treedef = jax.tree.flatten(state.params)
+    g_l = jax.tree.leaves(grads)
+    m_l = jax.tree.leaves(st.mu)
+    v_l = jax.tree.leaves(st.nu)
+    e_l = jax.tree.leaves(state.ema_params)
+    np_l, nm_l, nv_l, ne_l = [], [], [], []
+    for p, g, m, v, e in zip(p_l, g_l, m_l, v_l, e_l):
+        if wd and tx.mode == "adam":
+            g = g + wd * p
+        m2 = b1 * m + (1.0 - b1) * g
+        v2 = b2 * v + (1.0 - b2) * jnp.square(g)
+        u = (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
+        if wd and tx.mode == "adamw":
+            u = u + wd * p
+        p2 = p - lr * u
+        np_l.append(p2)
+        nm_l.append(m2)
+        nv_l.append(v2)
+        ne_l.append(e * ema_rate + (1.0 - ema_rate) * p2)
+    unflatten = treedef.unflatten
+    new_adam = optax.ScaleByAdamState(
+        count=count_inc, mu=unflatten(nm_l), nu=unflatten(nv_l))
+    new_opt = []
+    for s in state.opt_state:
+        if isinstance(s, optax.ScaleByAdamState):
+            new_opt.append(new_adam)
+        elif "count" in getattr(s, "_fields", ()):  # ScaleByScheduleState
+            new_opt.append(type(s)(count=s.count + 1))
+        else:  # EmptyState and friends
+            new_opt.append(s)
+    return unflatten(np_l), unflatten(ne_l), tuple(new_opt)
 
 
 def make_velocity_fn(model, params, cond: Dict[str, Any],
@@ -85,9 +154,14 @@ def make_train_step(
             return per_sample.mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_ema = ema_update(new_params, state.ema_params, ema_rate)
+        if isinstance(tx, FusedAdam):
+            new_params, new_ema, new_opt_state = _fused_adam_ema(
+                tx, state, grads, ema_rate)
+        else:
+            updates, new_opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema = ema_update(new_params, state.ema_params, ema_rate)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
