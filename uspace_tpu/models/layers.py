@@ -412,9 +412,13 @@ class Block(nn.Module):
                 return fused_mlp_block_q(x, ln2_s, ln2_b, w1, b1, w2, b2,
                                          eps=LN_EPS, quant="w8")
             # bf16: only LN1 needs folding (it feeds a pallas kernel and
-            # cannot fuse); LN2 feeds the XLA MLP, which XLA fuses fine.
-            # The bf16 LN-fused MLP kernel would need 16MB of bf16
-            # weights in VMEM — over the scoped limit at the bench shape.
+            # cannot fuse); LN2 feeds the XLA MLP. The bf16 LN-fused MLP
+            # kernel (fused_mlp_block_q(quant=False)) is runnable at the
+            # bench shape since the scoped-VMEM raise (ops/mlp.py), but
+            # measured NEUTRAL there (18.65 vs 18.61 img/s, r3): XLA's
+            # unfused MLP overlaps the [B,L,4C] hidden traffic with
+            # compute about as well as the kernel removes it — so the
+            # simpler XLA path stays.
             x = x + Mlp(hidden_dim=int(c * self.mlp_ratio),
                         dtype=self.dtype, quant=False, name="mlp")(
                 nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
