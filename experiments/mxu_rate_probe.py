@@ -89,11 +89,10 @@ def bench(M, K, N, dtype, R):
 
 
 if __name__ == "__main__":
-    for dtype in (jnp.int8,):
-        bench(256, 1024, 512, dtype, 50_000)    # current MLP strip
+    for dtype in (jnp.int8, jnp.bfloat16):
+        bench(256, 1024, 512, dtype, 50_000)    # pre-sweep MLP strip
         bench(512, 1024, 512, dtype, 40_000)
         bench(256, 1024, 1024, dtype, 25_000)
         bench(512, 1024, 1024, dtype, 20_000)
         bench(288, 1024, 1024, dtype, 25_000)   # qkvproj projection shape
-        bench(512, 4096, 1024, dtype, 5_000)    # fc2 full-K
 

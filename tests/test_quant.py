@@ -206,6 +206,19 @@ class TestFusedMlp:
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
 
+    def test_hidden_not_divisible_by_col_slices(self, rng):
+        """A hidden dim that doesn't divide _COL_SLICES must fall back
+        to a dividing strip count, not silently drop hidden units."""
+        from uspace_tpu.ops.mlp import fused_mlp
+
+        # 250 is not divisible by 4 (the swept default) or 3; the call
+        # must fall back to 2 column strips of 125
+        x, w1, b1, w2, b2, ref = self._data(rng, h=250)
+        out = fused_mlp(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+        outq = fused_mlp(x, w1, b1, w2, b2, quant=True)
+        assert _cosine(outq, ref) > 0.999
+
     def test_w8_kernel_matches_dequantized_weights(self, rng):
         """The weight-only-int8 kernel must equal the *plain* kernel run
         on the explicitly dequantized weights (activations are never

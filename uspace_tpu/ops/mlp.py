@@ -82,7 +82,7 @@ def _gelu_exact(x):
 
 
 def _mlp_kernel_bf16(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                     w1_v, w2_v, h_v, sem, *, hidden: int):
+                     w1_v, w2_v, h_v, sem, *, hidden: int, col_slices: int):
     @pl.when(pl.program_id(0) == 0)
     def _load():
         cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
@@ -93,15 +93,15 @@ def _mlp_kernel_bf16(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         cp2.wait()
 
     x = x_ref[:]
-    hs = hidden // _COL_SLICES
-    for j in range(_COL_SLICES):
+    hs = hidden // col_slices
+    for j in range(col_slices):
         part = jax.lax.dot_general(
             x, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b1_ref[0:1, j * hs:(j + 1) * hs]
         h_v[:, j * hs:(j + 1) * hs] = _gelu_exact(part).astype(h_v.dtype)
     acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
-    for j in range(_COL_SLICES):
+    for j in range(col_slices):
         acc += jax.lax.dot_general(
             h_v[:, j * hs:(j + 1) * hs], w2_v[j * hs:(j + 1) * hs, :],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -111,7 +111,7 @@ def _mlp_kernel_bf16(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
 
 def _mlp_kernel_bf16_lnres(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
                            w2_ref, b2_ref, o_ref, w1_v, w2_v, h_v, sem,
-                           *, hidden: int, eps: float):
+                           *, hidden: int, eps: float, col_slices: int):
     """Whole MLP sub-block, bf16: ``x + fc2(gelu(fc1(LN(x))))`` — the
     bf16 twin of :func:`_mlp_kernel_int8_lnres` (LN output and hidden
     tensor never touch HBM). Inference-only."""
@@ -135,15 +135,15 @@ def _mlp_kernel_bf16_lnres(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     xln = ((x - mu.astype(x.dtype)) * inv
            * lns_ref[0:1, :].astype(x.dtype)
            + lnb_ref[0:1, :].astype(x.dtype))
-    hs = hidden // _COL_SLICES
-    for j in range(_COL_SLICES):
+    hs = hidden // col_slices
+    for j in range(col_slices):
         part = jax.lax.dot_general(
             xln.astype(x.dtype), w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b1_ref[0:1, j * hs:(j + 1) * hs]
         h_v[:, j * hs:(j + 1) * hs] = _gelu_exact(part).astype(h_v.dtype)
     acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
-    for j in range(_COL_SLICES):
+    for j in range(col_slices):
         acc += jax.lax.dot_general(
             h_v[:, j * hs:(j + 1) * hs], w2_v[j * hs:(j + 1) * hs, :],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -152,7 +152,7 @@ def _mlp_kernel_bf16_lnres(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
 
 
 def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                     o_ref, w1_v, w2_v, h_v, sem, *, hidden: int):
+                     o_ref, w1_v, w2_v, h_v, sem, *, hidden: int, col_slices: int):
     """int8 variant: weights arrive pre-quantized (int8 + per-column f32
     scales); activations are row-quantized on the VPU; both matmuls run
     int8 x int8 -> int32 on the MXU.
@@ -178,10 +178,10 @@ def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
     xq = jnp.round(x * (127.0 / amax)).astype(jnp.int8)
     xs = amax * (1.0 / 127.0)  # [rows, 1]
-    hs = hidden // _COL_SLICES
+    hs = hidden // col_slices
     # fc1 + GELU + per-strip quantization, fused per column strip
     hscales = []
-    for j in range(_COL_SLICES):
+    for j in range(col_slices):
         part = jax.lax.dot_general(
             xq, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -196,7 +196,7 @@ def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
             g * (127.0 / smax)).astype(jnp.int8)
         hscales.append(smax * (1.0 / 127.0))
     acc = jnp.zeros((xq.shape[0], o_ref.shape[-1]), jnp.float32)
-    for j in range(_COL_SLICES):
+    for j in range(col_slices):
         d = jax.lax.dot_general(
             h_v[:, j * hs:(j + 1) * hs], w2_v[j * hs:(j + 1) * hs, :],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
@@ -208,7 +208,7 @@ def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
 
 def _mlp_kernel_int8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
                            w2_ref, s2_ref, b2_ref, o_ref, w1_v, w2_v, h_v,
-                           sem, *, hidden: int, eps: float):
+                           sem, *, hidden: int, eps: float, col_slices: int):
     """Whole MLP sub-block, int8: ``x + fc2(gelu(fc1(LN(x))))``. The LN
     output, hidden tensor and fc2 input never touch HBM. Hidden
     quantization is per column strip in the fc1 epilogue (see
@@ -234,9 +234,9 @@ def _mlp_kernel_int8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
     amax = jnp.maximum(jnp.max(jnp.abs(xln), axis=-1, keepdims=True), 1e-8)
     xq = jnp.round(xln * (127.0 / amax)).astype(jnp.int8)
     xs = amax * (1.0 / 127.0)
-    hs = hidden // _COL_SLICES
+    hs = hidden // col_slices
     hscales = []
-    for j in range(_COL_SLICES):
+    for j in range(col_slices):
         part = jax.lax.dot_general(
             xq, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -251,7 +251,7 @@ def _mlp_kernel_int8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
             g * (127.0 / smax)).astype(jnp.int8)
         hscales.append(smax * (1.0 / 127.0))
     acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
-    for j in range(_COL_SLICES):
+    for j in range(col_slices):
         d = jax.lax.dot_general(
             h_v[:, j * hs:(j + 1) * hs], w2_v[j * hs:(j + 1) * hs, :],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
@@ -263,7 +263,7 @@ def _mlp_kernel_int8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
 
 def _mlp_kernel_w8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
                          w2_ref, s2_ref, b2_ref, o_ref, w1_v, w2_v, h_v,
-                         sem, *, hidden: int, eps: float):
+                         sem, *, hidden: int, eps: float, col_slices: int):
     """Weight-only int8 ("w8") whole MLP sub-block:
     ``x + fc2(gelu(fc1(LN(x))))`` with int8 weights and bf16 activations
     /matmuls. Same argument layout as :func:`_mlp_kernel_int8_lnres`.
@@ -297,8 +297,8 @@ def _mlp_kernel_w8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
     xln = ((x - mu.astype(x.dtype)) * inv
            * lns_ref[0:1, :].astype(x.dtype)
            + lnb_ref[0:1, :].astype(x.dtype))
-    hs = hidden // _COL_SLICES
-    for j in range(_COL_SLICES):
+    hs = hidden // col_slices
+    for j in range(col_slices):
         part = jax.lax.dot_general(
             xln, w1_v[:, j * hs:(j + 1) * hs].astype(x.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -306,7 +306,7 @@ def _mlp_kernel_w8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
             + b1_ref[0:1, j * hs:(j + 1) * hs]
         h_v[:, j * hs:(j + 1) * hs] = _gelu_exact(part).astype(h_v.dtype)
     acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
-    for j in range(_COL_SLICES):
+    for j in range(col_slices):
         acc += jax.lax.dot_general(
             h_v[:, j * hs:(j + 1) * hs],
             w2_v[j * hs:(j + 1) * hs, :].astype(x.dtype),
@@ -362,6 +362,11 @@ def fused_mlp_block_q(
 def _call_mlp(x2d, args, kernel, hidden, out_dim, interpret,
               weights_hbm_idx, h_dtype=None):
     rows, c = x2d.shape
+    # largest strip count <= _COL_SLICES that divides the hidden dim —
+    # a non-dividing count would silently drop hidden units
+    col_slices = _COL_SLICES
+    while hidden % col_slices:
+        col_slices -= 1
     vmem = pltpu.VMEM if (_HAS_PLTPU and not interpret) else None
     anyspace = pl.ANY if (_HAS_PLTPU and not interpret) else None
     in_specs = [pl.BlockSpec((_ROW_TILE, c), lambda i: (i, 0),
@@ -378,7 +383,8 @@ def _call_mlp(x2d, args, kernel, hidden, out_dim, interpret,
         rp = _round_up(r, _ROW_TILE)
         xp = x2d if rp == r else jnp.pad(x2d, ((0, rp - r), (0, 0)))
         out = pl.pallas_call(
-            functools.partial(kernel, hidden=hidden),
+            functools.partial(kernel, hidden=hidden,
+                              col_slices=col_slices),
             grid=(rp // _ROW_TILE,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((_ROW_TILE, out_dim), lambda i: (i, 0),
@@ -406,7 +412,7 @@ def _call_mlp(x2d, args, kernel, hidden, out_dim, interpret,
 
 
 def _mlp_kernel_w8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                   o_ref, w1_v, w2_v, h_v, sem, *, hidden: int):
+                   o_ref, w1_v, w2_v, h_v, sem, *, hidden: int, col_slices: int):
     """Weight-only int8 variant of :func:`_mlp_kernel_int8`: int8 weight
     DMA (and residency — bf16 copies would not fit VMEM at the bench
     shape), bf16 activations and matmuls, per-column scales folded into
@@ -421,8 +427,8 @@ def _mlp_kernel_w8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
         cp2.wait()
 
     x = x_ref[:]
-    hs = hidden // _COL_SLICES
-    for j in range(_COL_SLICES):
+    hs = hidden // col_slices
+    for j in range(col_slices):
         part = jax.lax.dot_general(
             x, w1_v[:, j * hs:(j + 1) * hs].astype(x.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -430,7 +436,7 @@ def _mlp_kernel_w8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
             + b1_ref[0:1, j * hs:(j + 1) * hs]
         h_v[:, j * hs:(j + 1) * hs] = _gelu_exact(part).astype(h_v.dtype)
     acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
-    for j in range(_COL_SLICES):
+    for j in range(col_slices):
         acc += jax.lax.dot_general(
             h_v[:, j * hs:(j + 1) * hs],
             w2_v[j * hs:(j + 1) * hs, :].astype(x.dtype),

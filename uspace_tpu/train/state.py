@@ -72,7 +72,7 @@ def get_optimizer(
     weight_decay: float = 0.0,
     grad_clip: Optional[float] = None,
     eps: float = 1e-8,
-) -> optax.GradientTransformation:
+) -> "optax.GradientTransformation | FusedAdam":
     """Optimizers matching the reference (utils_uvit.py:50-78):
 
     - "adam": torch.optim.Adam semantics — L2 weight decay folded into the
@@ -82,6 +82,12 @@ def get_optimizer(
     (The reference's x10-LR "vspace" param group belongs to a dead
     experimental module — `libs/sd/openaimodel.py:433-461` V_Space — and is
     intentionally not replicated.)
+
+    Returns a :class:`FusedAdam` (duck-types init/update via the
+    equivalent optax chain; opt_state identical) unless ``grad_clip`` is
+    set or ``lr_schedule`` is not callable — callers needing a true
+    ``optax.GradientTransformation`` NamedTuple (e.g. to wrap in
+    ``optax.MultiSteps``) should use ``FusedAdam.chain``.
     """
     b1, b2 = betas
     chain = []

@@ -50,6 +50,17 @@ def _fused_adam_ema(tx: FusedAdam, state: TrainState, grads,
     structurally identical to the chain's (checkpoint-compatible)."""
     adam_states = [s for s in state.opt_state
                    if isinstance(s, optax.ScaleByAdamState)]
+    # Loud structural guard: the fused math below reproduces exactly ONE
+    # chain composition — [decay?] + scale_by_adam + schedule-lr. Any
+    # future chain member that transforms updates or carries other state
+    # must extend the fused path, not be silently skipped.
+    if len(adam_states) != 1 or any(
+            not isinstance(s, optax.ScaleByAdamState)
+            and getattr(s, "_fields", None) not in ((), ("count",))
+            for s in state.opt_state):
+        raise ValueError(
+            "FusedAdam fused path does not understand this opt_state "
+            f"composition: {[type(s).__name__ for s in state.opt_state]}")
     st = adam_states[0]
     count_inc = st.count + 1
     tf = count_inc.astype(jnp.float32)
