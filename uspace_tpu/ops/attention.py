@@ -48,6 +48,17 @@ Array = jax.Array
 # masked tiles (standard TPU flash-attention practice)
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# int8 LN-qkvproj kernel: batch elements packed per program (projection
+# dots over [bpp*Lp, C] rows run at a higher MXU rate; per-head attention
+# stays per element). 1 = off; falls back to 1 when the batch does not
+# divide. VMEM limit covers the packed qkv buffer + transients.
+# Measured end-to-end (experiments/qkv_pack_sweep.py, U-ViT-large int8
+# Euler-50 batch 50): bpp=1/2/5 -> 23.84/23.71/22.45 img/s — the bigger
+# dot's MXU-rate gain loses to the coarser grid's reduced cross-program
+# pipelining, so the default stays 1 (knob kept for reproducibility).
+_QKV_BATCH_PACK = 1
+_QKV_VMEM_LIMIT = 32 * 2**20
+
 
 def _on_tpu() -> bool:
     try:
@@ -585,15 +596,21 @@ def _qkv_attn_kernel_qln(x_ref, lns_ref, lnb_ref, wq_ref, ws_ref, o_ref,
     ``LN(x)`` in-kernel (f32 statistics) before row-quantizing, so the
     normalized activations never round-trip through HBM (saves one full
     [B, L, C] read+write per block vs a separate XLA LayerNorm, which
-    cannot fuse into a pallas_call)."""
+    cannot fuse into a pallas_call).
+
+    Handles a block of ``bpp`` batch elements per program (the leading
+    block dim): LN/quant/projection run over the flattened
+    ``[bpp*Lp, C]`` rows — larger projection dots run at a higher MXU
+    rate (isolated int8 probe: 177 TFLOP/s at M=288 vs 210 at M=512) —
+    while the per-head attention math stays per batch element."""
     @pl.when(pl.program_id(0) == 0)
     def _load_weights():
         cp = pltpu.make_async_copy(wq_ref, wq_vmem, sem)
         cp.start()
         cp.wait()
 
-    x = x_ref[0]  # [Lp, C]
-    c = x.shape[-1]
+    bpp, lp, c = x_ref.shape
+    x = x_ref[...].reshape(bpp * lp, c)
     xf = x.astype(jnp.float32)
     mu = jnp.sum(xf, axis=-1, keepdims=True) / c
     var = jnp.sum(jnp.square(xf), axis=-1, keepdims=True) / c - jnp.square(mu)
@@ -611,26 +628,27 @@ def _qkv_attn_kernel_qln(x_ref, lns_ref, lnb_ref, wq_ref, ws_ref, o_ref,
             * ws_ref[0:1, j * c:(j + 1) * c]
         qkv_buf[:, j * c:(j + 1) * c] = deq.astype(qkv_buf.dtype)
     h, d = num_heads, head_dim
-    lp = x.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
     key_mask = col < seq_len
-    for i in range(h):
-        q = qkv_buf[:, i * d:(i + 1) * d]
-        k = qkv_buf[:, (h + i) * d:(h + i + 1) * d]
-        v = qkv_buf[:, (2 * h + i) * d:(2 * h + i + 1) * d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = jnp.where(key_mask, s, _MASK_VALUE)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / l
-        o_ref[0, :, i * d:(i + 1) * d] = o.astype(o_ref.dtype)
+    for e in range(bpp):
+        r0, r1 = e * lp, (e + 1) * lp
+        for i in range(h):
+            q = qkv_buf[r0:r1, i * d:(i + 1) * d]
+            k = qkv_buf[r0:r1, (h + i) * d:(h + i + 1) * d]
+            v = qkv_buf[r0:r1, (2 * h + i) * d:(2 * h + i + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(key_mask, s, _MASK_VALUE)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / l
+            o_ref[e, :, i * d:(i + 1) * d] = o.astype(o_ref.dtype)
 
 
 def _qkv_attn_kernel_ln(x_ref, lns_ref, lnb_ref, w_ref, o_ref, w_vmem,
@@ -706,27 +724,35 @@ def fused_ln_qkvproj_attention(
 
         def inner_q(xp, lns, lnb, wq, ws):
             bl = xp.shape[0]
+            # pack bpp batch elements per program when the batch divides:
+            # the [bpp*Lp, C] projection dots run at a higher MXU rate
+            bpp = _QKV_BATCH_PACK if bl % _QKV_BATCH_PACK == 0 else 1
+            params = None
+            if _HAS_PLTPU and not interpret and bpp > 1:
+                params = pltpu.CompilerParams(
+                    vmem_limit_bytes=_QKV_VMEM_LIMIT)
             return pl.pallas_call(
                 functools.partial(_qkv_attn_kernel_qln, scale=scale,
                                   seq_len=l, num_heads=num_heads,
                                   head_dim=d, eps=eps),
-                grid=(bl,),
+                grid=(bl // bpp,),
                 in_specs=[
-                    pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0),
+                    pl.BlockSpec((bpp, lp, c), lambda i: (i, 0, 0),
                                  memory_space=vmem),
                     pl.BlockSpec(memory_space=vmem),      # ln scale [1, C]
                     pl.BlockSpec(memory_space=vmem),      # ln bias [1, C]
                     pl.BlockSpec(memory_space=anyspace),  # wq int8 (HBM)
                     pl.BlockSpec(memory_space=vmem),      # ws [1, 3C] f32
                 ],
-                out_specs=pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0),
+                out_specs=pl.BlockSpec((bpp, lp, c), lambda i: (i, 0, 0),
                                        memory_space=vmem),
                 out_shape=jax.ShapeDtypeStruct((bl, lp, c), x.dtype),
                 scratch_shapes=[
                     pltpu.VMEM((c, 3 * c), jnp.int8),
-                    pltpu.VMEM((lp, 3 * c), x.dtype),
+                    pltpu.VMEM((bpp * lp, 3 * c), x.dtype),
                     pltpu.SemaphoreType.DMA(()),
                 ],
+                compiler_params=params,
                 interpret=interpret,
             )(xp, lns, lnb, wq, ws)
 
