@@ -36,7 +36,10 @@ def bench(b, h, w, cin, cout, dtype, reps):
             out = jax.lax.conv_general_dilated(
                 xb, k, (1, 1), "SAME", dimension_numbers=dn,
                 preferred_element_type=acc_t)
-            return acc + out[0, 0, 0, 0]
+            # consume EVERY output element: a single-element carry lets
+            # XLA DCE the conv down to one output pixel (first version of
+            # this probe "measured" 700+ TFLOP/s that way)
+            return acc + out.sum()
 
         return jax.lax.fori_loop(0, reps, body, jnp.zeros((), acc_t))
 
