@@ -381,3 +381,133 @@ class TestQuantModelView:
         assert _cosine(out, ref) > 0.99
         rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         assert rel < 0.1
+
+
+class TestInt8Conv:
+    """W8A8 conv path for the SD-UNet int8 sampling view
+    (ops/quant.int8_conv + models/unet.Int8Conv)."""
+
+    def test_int8_conv_exact_on_grid(self, rng):
+        """Inputs already on the int8 grid with amax pinned to 127 ->
+        scales are exact and the quantized conv is exact (int32
+        accumulation, no rounding)."""
+        from uspace_tpu.ops.quant import int8_conv
+
+        x = jax.random.randint(rng, (2, 8, 8, 16), -127, 128,
+                               jnp.int32).astype(jnp.float32)
+        x = x.at[:, 0, 0, 0].set(127.0)  # per-image amax -> scale = 1.0
+        w = jax.random.randint(jax.random.fold_in(rng, 1), (3, 3, 16, 24),
+                               -127, 128, jnp.int32).astype(jnp.float32)
+        w = w.at[0, 0, 0, :].set(127.0)  # per-channel amax -> scale = 1.0
+        out = int8_conv(x, w, strides=(1, 1), padding="SAME")
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=dn)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=0)
+
+    def test_int8_conv_close_to_f32(self, rng):
+        from uspace_tpu.ops.quant import int8_conv
+
+        x = jax.random.normal(rng, (2, 8, 8, 32))
+        w = jax.random.normal(jax.random.fold_in(rng, 1),
+                              (3, 3, 32, 64)) * 0.05
+        b = jax.random.normal(jax.random.fold_in(rng, 2), (64,)) * 0.1
+        out = int8_conv(x, w, b)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=dn) + b
+        assert _cosine(out, ref) > 0.999
+
+    def test_strided_explicit_padding(self, rng):
+        """The UNet downsample conv: k3 s2 pad ((1,1),(1,1))."""
+        from uspace_tpu.ops.quant import int8_conv
+
+        x = jax.random.normal(rng, (2, 8, 8, 16))
+        w = jax.random.normal(jax.random.fold_in(rng, 1),
+                              (3, 3, 16, 16)) * 0.1
+        out = int8_conv(x, w, strides=(2, 2), padding=((1, 1), (1, 1)))
+        assert out.shape == (2, 4, 4, 16)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn)
+        assert _cosine(out, ref) > 0.999
+
+    def test_param_tree_matches_nn_conv(self, rng):
+        from flax import linen as nn
+
+        from uspace_tpu.models.unet import Int8Conv
+
+        x = jnp.ones((2, 8, 8, 16))
+        p_q = Int8Conv(32, (3, 3)).init(rng, x)
+        p_c = nn.Conv(32, (3, 3)).init(rng, x)
+        assert jax.tree_util.tree_structure(p_q) == \
+            jax.tree_util.tree_structure(p_c)
+        assert jax.tree_util.tree_map(lambda a: a.shape, p_q) == \
+            jax.tree_util.tree_map(lambda a: a.shape, p_c)
+
+
+class TestUNetQuantView:
+    _kw = dict(image_size=16, in_channels=4, out_channels=4,
+               model_channels=32, attention_resolutions=[2, 1],
+               num_res_blocks=1, channel_mult=[1, 2], num_head_channels=16,
+               use_spatial_transformer=True, transformer_depth=1,
+               context_dim=24)
+
+    def _models_and_params(self, rng, **over):
+        from uspace_tpu.models import get_nnet
+
+        m = get_nnet("unet_t2i", dtype=jnp.bfloat16, **self._kw)
+        mq = get_nnet("unet_t2i", dtype=jnp.bfloat16, quant=True,
+                      **{**self._kw, **over})
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        t = jnp.full((2,), 0.3)
+        ctx = jax.random.normal(jax.random.fold_in(rng, 1), (2, 7, 24))
+        params = m.init(rng, x, t, ctx)
+        # perturb so the zero-init out convs contribute (init outputs
+        # are literally zero otherwise and agreement is vacuous)
+        keys = iter(jax.random.split(jax.random.PRNGKey(7),
+                                     len(jax.tree_util.tree_leaves(params))))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.05 * jax.random.normal(next(keys), a.shape,
+                                                   a.dtype), params)
+        return m, mq, params, (x, t, ctx)
+
+    def test_param_tree_identical(self, rng):
+        from uspace_tpu.models import get_nnet
+
+        m = get_nnet("unet_t2i", dtype=jnp.bfloat16, **self._kw)
+        mq = get_nnet("unet_t2i", dtype=jnp.bfloat16, quant=True, **self._kw)
+        x = jnp.ones((1, 16, 16, 4))
+        args = (x, jnp.zeros((1,)), jnp.ones((1, 7, 24)))
+        p = m.init(rng, *args)
+        pq = mq.init(rng, *args)
+        assert jax.tree_util.tree_structure(p) == \
+            jax.tree_util.tree_structure(pq)
+        assert jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), p) == \
+            jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), pq)
+
+    def test_quant_view_quality(self, rng):
+        m, mq, params, args = self._models_and_params(rng)
+        ref, _ = m.apply(params, *args)
+        out, _ = mq.apply(params, *args)
+        assert _cosine(out, ref) > 0.995
+        rel = float(jnp.linalg.norm(
+            out.astype(jnp.float32) - ref.astype(jnp.float32))
+            / jnp.linalg.norm(ref.astype(jnp.float32)))
+        assert rel < 0.1
+
+    def test_uncond_config_quant_view(self, rng):
+        """The uncond UNet configs (context=None zeros fallback) work
+        under the quant view too."""
+        from uspace_tpu.models import get_nnet
+
+        m = get_nnet("unet_t2i", dtype=jnp.bfloat16, quant=True, **self._kw)
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        p = m.init(rng, x, jnp.zeros((2,)))
+        out, _ = m.apply(p, x, jnp.full((2,), 0.5))
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out, np.float32)).all()

@@ -34,11 +34,60 @@ from flax import linen as nn
 
 from ..editing.specs import USpaceEdit
 from ..ops.attention import multi_head_attention
-from .layers import timestep_embedding
+from .layers import Int8Dense, _qmodes, timestep_embedding
 
 Array = jax.Array
 
 zero_init = nn.initializers.zeros
+
+
+class Int8Conv(nn.Module):
+    """W8A8 NHWC conv with nn.Conv's exact param tree (kernel HWIO f32 +
+    bias), so any checkpoint loads into either view. Compute path:
+    ops/quant.int8_conv (int8 MXU conv, int32 accum, per-image x
+    per-out-channel dequant epilogue)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ..ops.quant import int8_conv
+
+        k = self.param(
+            "kernel", self.kernel_init,
+            (*self.kernel_size, x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return int8_conv(x, k, b, self.strides, self.padding,
+                         out_dtype=self.dtype)
+
+
+def _conv(quant, features, kernel_size, *, strides=(1, 1), padding="SAME",
+          kernel_init=nn.initializers.lecun_normal(), dtype, name):
+    """nn.Conv or its int8 twin, same param tree either way. Only the
+    W8A8 view quantizes ("w8" would leave int8->bf16 dequant casts in
+    the conv path, which Mosaic/XLA relayouts make a wash — measured on
+    the dense w8 view, docs/ROUND3.md)."""
+    w8a8, _ = _qmodes(quant)
+    if w8a8:
+        return Int8Conv(features, tuple(kernel_size), strides=strides,
+                        padding=padding, kernel_init=kernel_init,
+                        dtype=dtype, name=name)
+    return nn.Conv(features, kernel_size, strides=strides, padding=padding,
+                   kernel_init=kernel_init, dtype=dtype, name=name)
+
+
+def _udense(quant, features, *, use_bias=True, dtype, name):
+    """nn.Dense or Int8Dense with the UNet's (flax-default) init."""
+    w8a8, _ = _qmodes(quant)
+    cls = Int8Dense if w8a8 else nn.Dense
+    return cls(features, use_bias=use_bias, dtype=dtype,
+               kernel_init=nn.initializers.lecun_normal(), name=name)
 
 
 def group_norm(x, name):
@@ -61,6 +110,7 @@ class ResBlock(nn.Module):
     use_scale_shift_norm: bool = False
     updown: int = 0  # +1 up, -1 down, 0 none (resblock_updown variants)
     dtype: Any = jnp.float32
+    quant: Any = False  # False | True ("w8a8") | "w8"
 
     @nn.compact
     def __call__(self, x: Array, emb: Array) -> Array:
@@ -75,8 +125,8 @@ class ResBlock(nn.Module):
         elif self.updown == -1:
             h = nn.avg_pool(h, (2, 2), (2, 2))
             x = nn.avg_pool(x, (2, 2), (2, 2))
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype,
-                    name="in_conv")(h)
+        h = _conv(self.quant, out_ch, (3, 3), dtype=self.dtype,
+                  name="in_conv")(h)
         e = nn.Dense(
             2 * out_ch if self.use_scale_shift_norm else out_ch,
             dtype=self.dtype, name="emb_proj",
@@ -89,9 +139,13 @@ class ResBlock(nn.Module):
         else:
             h = h + e[:, None, None, :]
             h = nn.silu(group_norm(h, "out_norm"))
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype,
-                    kernel_init=zero_init, name="out_conv")(h)
+        h = _conv(self.quant, out_ch, (3, 3), dtype=self.dtype,
+                  kernel_init=zero_init, name="out_conv")(h)
         if in_ch != out_ch:
+            # stays full precision in the quant view: its input is the
+            # RAW residual stream (no GroupNorm in front), exactly where
+            # per-channel outliers accumulate — and 1x1 channel-change
+            # convs are a tiny FLOP fraction
             x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
         return x + h
 
@@ -104,15 +158,19 @@ class CrossAttention(nn.Module):
     head_dim: int
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
         b, l, c = x.shape
         inner = self.num_heads * self.head_dim
         ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = _udense(self.quant, inner, use_bias=False, dtype=self.dtype,
+                    name="to_q")(x)
+        k = _udense(self.quant, inner, use_bias=False, dtype=self.dtype,
+                    name="to_k")(ctx)
+        v = _udense(self.quant, inner, use_bias=False, dtype=self.dtype,
+                    name="to_v")(ctx)
         lk = ctx.shape[1]
         q = q.reshape(b, l, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(b, lk, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
@@ -125,7 +183,7 @@ class CrossAttention(nn.Module):
             p = jax.nn.softmax(s * self.head_dim**-0.5, axis=-1)
             out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, inner)
-        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+        return _udense(self.quant, c, dtype=self.dtype, name="to_out")(out)
 
 
 class FeedForwardGEGLU(nn.Module):
@@ -133,17 +191,19 @@ class FeedForwardGEGLU(nn.Module):
 
     mult: int = 4
     dtype: Any = jnp.float32
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         c = x.shape[-1]
         inner = c * self.mult
-        xg = nn.Dense(2 * inner, dtype=self.dtype, name="geglu_proj")(x)
+        xg = _udense(self.quant, 2 * inner, dtype=self.dtype,
+                     name="geglu_proj")(x)
         xx, gate = jnp.split(xg, 2, axis=-1)
         from .layers import gelu_exact
 
         h = xx * gelu_exact(gate)  # erf-polynomial (fast) exact GELU
-        return nn.Dense(c, dtype=self.dtype, name="out")(h)
+        return _udense(self.quant, c, dtype=self.dtype, name="out")(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -151,19 +211,21 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
         x = x + CrossAttention(self.num_heads, self.head_dim,
                                dtype=self.dtype, attn_impl=self.attn_impl,
-                               name="attn1")(
+                               quant=self.quant, name="attn1")(
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x))
         x = x + CrossAttention(self.num_heads, self.head_dim,
                                dtype=self.dtype, attn_impl=self.attn_impl,
-                               name="attn2")(
+                               quant=self.quant, name="attn2")(
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x),
             context)
-        x = x + FeedForwardGEGLU(dtype=self.dtype, name="ff")(
+        x = x + FeedForwardGEGLU(dtype=self.dtype, quant=self.quant,
+                                 name="ff")(
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x))
         return x
 
@@ -177,6 +239,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
@@ -184,16 +247,18 @@ class SpatialTransformer(nn.Module):
         inner = self.num_heads * self.head_dim
         res = x
         x = group_norm(x, "norm")
-        x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = _conv(self.quant, inner, (1, 1), dtype=self.dtype,
+                  name="proj_in")(x)
         x = x.reshape(b, h * w, inner)
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 self.num_heads, self.head_dim, dtype=self.dtype,
-                attn_impl=self.attn_impl, name=f"blocks_{i}",
+                attn_impl=self.attn_impl, quant=self.quant,
+                name=f"blocks_{i}",
             )(x, context)
         x = x.reshape(b, h, w, inner)
-        x = nn.Conv(c, (1, 1), dtype=self.dtype, kernel_init=zero_init,
-                    name="proj_out")(x)
+        x = _conv(self.quant, c, (1, 1), dtype=self.dtype,
+                  kernel_init=zero_init, name="proj_out")(x)
         return x + res
 
 
@@ -244,6 +309,12 @@ class UNet(nn.Module):
     legacy: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    # int8 W8A8 sampling view (ops/quant.py): quantizes every ResBlock /
+    # up/down / SpatialTransformer conv (int8 MXU convs measured
+    # 1.2-1.6x bf16, experiments/int8_conv_probe.py) and the transformer
+    # Dense layers. Param tree identical to the bf16 view. The in/out
+    # boundary convs stay bf16 (negligible FLOPs, output precision).
+    quant: Any = False  # False | True ("w8a8") | "w8"
 
     def _heads(self, ch: int) -> Tuple[int, int]:
         if self.num_head_channels == -1:
@@ -268,7 +339,7 @@ class UNet(nn.Module):
                    else SpatialTransformer)
             return cls(
                 nh, dh, depth=self.transformer_depth, dtype=self.dtype,
-                attn_impl=self.attn_impl, name=name,
+                attn_impl=self.attn_impl, quant=self.quant, name=name,
             )
         cls = (nn.remat(AttnBlockLegacy) if self.use_checkpoint
                else AttnBlockLegacy)
@@ -316,7 +387,7 @@ class UNet(nn.Module):
             for _ in range(self.num_res_blocks):
                 h = self._res_cls()(out_channels=mult * ch0,
                              use_scale_shift_norm=self.use_scale_shift_norm,
-                             dtype=self.dtype,
+                             dtype=self.dtype, quant=self.quant,
                              name=f"input_blocks_{idx}_0")(h, emb)
                 ch = mult * ch0
                 if ds in self.attention_resolutions:
@@ -328,20 +399,22 @@ class UNet(nn.Module):
             if level != len(self.channel_mult) - 1:
                 # torch Downsample pads 1 on both sides (k3 s2); XLA's
                 # "SAME" would pad (0, 1) and shift the window grid
-                h = nn.Conv(ch, (3, 3), strides=(2, 2),
-                            padding=((1, 1), (1, 1)), dtype=self.dtype,
-                            name=f"input_blocks_{idx}_0_down")(h)
+                h = _conv(self.quant, ch, (3, 3), strides=(2, 2),
+                          padding=((1, 1), (1, 1)), dtype=self.dtype,
+                          name=f"input_blocks_{idx}_0_down")(h)
                 hs.append(h)
                 idx += 1
                 ds *= 2
 
         h = self._res_cls()(use_scale_shift_norm=self.use_scale_shift_norm,
-                            dtype=self.dtype, name="middle_block_0")(h, emb)
+                            dtype=self.dtype, quant=self.quant,
+                            name="middle_block_0")(h, emb)
         h = self._attn(ch, "middle_block_1")(h, context) \
             if self.use_spatial_transformer else \
             self._attn(ch, "middle_block_1")(h)
         h = self._res_cls()(use_scale_shift_norm=self.use_scale_shift_norm,
-                            dtype=self.dtype, name="middle_block_2")(h, emb)
+                            dtype=self.dtype, quant=self.quant,
+                            name="middle_block_2")(h, emb)
 
         if edit is not None and edit.loc == "mid":
             h = edit.apply(h, t_scalar)
@@ -354,7 +427,7 @@ class UNet(nn.Module):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
                 h = self._res_cls()(out_channels=ch0 * mult,
                              use_scale_shift_norm=self.use_scale_shift_norm,
-                             dtype=self.dtype,
+                             dtype=self.dtype, quant=self.quant,
                              name=f"output_blocks_{idx}_0")(h, emb)
                 ch = ch0 * mult
                 if ds in self.attention_resolutions:
@@ -364,8 +437,8 @@ class UNet(nn.Module):
                 if level and i == self.num_res_blocks:
                     b, hh, ww, c = h.shape
                     h = jax.image.resize(h, (b, 2 * hh, 2 * ww, c), "nearest")
-                    h = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype,
-                                name=f"output_blocks_{idx}_up")(h)
+                    h = _conv(self.quant, c, (3, 3), dtype=self.dtype,
+                              name=f"output_blocks_{idx}_up")(h)
                     ds //= 2
                 idx += 1
 

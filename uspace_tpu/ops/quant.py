@@ -128,6 +128,55 @@ def activation_outlier_report(model, params, *inputs, norm_names=("norm1", "norm
     return report
 
 
+def quantize_convwise(w: Array) -> Tuple[Array, Array]:
+    """Per-output-channel symmetric int8 quantization of an HWIO conv
+    kernel. Returns ``(q int8 [..., O], scale f32 [O])``."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.maximum(
+        jnp.max(jnp.abs(wf), axis=tuple(range(wf.ndim - 1))), 1e-8)
+    scale = amax / _QMAX
+    q = jnp.clip(jnp.round(wf / scale), -_QMAX, _QMAX).astype(jnp.int8)
+    return q, scale
+
+
+def int8_conv(
+    x: Array,
+    w: Array,
+    bias: Optional[Array] = None,
+    strides: Tuple[int, int] = (1, 1),
+    padding="SAME",
+    out_dtype: Optional[jnp.dtype] = None,
+) -> Array:
+    """W8A8 NHWC convolution on the int8 MXU path.
+
+    Probe result (experiments/int8_conv_probe.py, v5e): int8 x int8 ->
+    int32 convs run 164/153/211 TFLOP/s at SD-UNet-large stage shapes vs
+    124-134 for bf16 — 1.2-1.6x, same headroom the dense int8 path
+    exploits. Scales: per-image activation scales (batch entries never
+    mix under a conv, so they factor exactly through the accumulation —
+    unlike per-pixel scales, which the spatial window would mix) and
+    per-output-channel weight scales. Zero padding is exact in the
+    quantized domain (0 quantizes to 0). The weight quantize is
+    loop-invariant and hoisted out of the ODE scan by XLA.
+    """
+    out_dtype = out_dtype or x.dtype
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True), 1e-8)
+    xs = amax / _QMAX
+    xq = jnp.clip(jnp.round(xf / xs), -_QMAX, _QMAX).astype(jnp.int8)
+    wq, ws = quantize_convwise(w)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xs * ws
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def int8_dense(
     x: Array, w: Array, bias: Optional[Array] = None,
     out_dtype: Optional[jnp.dtype] = None,
