@@ -32,7 +32,10 @@ Also reported:
   reference's full sample path, train_lfm.py:200-204), bf16 decoder.
 - t2i_imgs_per_sec: U-ViT-T2I (L=334) with fused-2B CFG, int8 view.
 - unet_imgs_per_sec: SD-UNet-large (reference configs/
-  lfm_cm256_unet_large.py), bf16, Euler-50.
+  lfm_cm256_unet_large.py), Euler-50, quant=True = convs-only int8
+  view (int8 MXU convs; transformer denses stay bf16 — measured
+  best: 24.1 vs bf16 21.7 vs full-W8A8 21.1, models/unet.py:_conv;
+  trained-weights quality gate: tests/test_editing_e2e_t2i.py).
 
 vs_baseline: the reference publishes no numbers (BASELINE.json
 published:{}), so the denominator is an analytic A100 estimate:
@@ -338,7 +341,9 @@ def bench_t2i(rng):
 
 
 def bench_unet(rng):
-    """SD-UNet-large (reference configs/lfm_cm256_unet_large.py), bf16."""
+    """SD-UNet-large (reference configs/lfm_cm256_unet_large.py),
+    convs-only int8 view (quant=True; bf16 measured 21.7 at this
+    shape — experiments/int8_unet_probe.py attribution)."""
     from uspace_tpu.core import flow
     from uspace_tpu.models import get_nnet
 
@@ -347,7 +352,7 @@ def bench_unet(rng):
         model_channels=256, attention_resolutions=[4, 2, 1],
         num_res_blocks=2, channel_mult=[1, 2, 4], num_head_channels=64,
         use_spatial_transformer=True, transformer_depth=1, context_dim=768,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, quant=True,
     )
     x0 = jnp.zeros((1, 32, 32, 4), jnp.float32)
     ctx0 = jnp.zeros((1, 77, 768), jnp.float32)

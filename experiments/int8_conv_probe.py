@@ -59,7 +59,22 @@ def bench(b, h, w, cin, cout, dtype, reps):
 
 
 if __name__ == "__main__":
-    for dtype in (jnp.bfloat16, jnp.int8):
-        bench(50, 32, 32, 256, 256, dtype, 400)   # top UNet stage
-        bench(50, 16, 16, 512, 512, dtype, 400)   # mid stage
-        bench(50, 8, 8, 1024, 1024, dtype, 400)   # bottleneck
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "vae":
+        # SD-VAE *decoder* shapes (codecs/vae.py, 32x32x4 z -> 256px RGB,
+        # ch_mult 1,2,4,4): activations are huge here, so the win/loss is
+        # decided by whether the dynamic-quantize HBM pass around the conv
+        # costs more than the int8 MXU saves. Fewer reps: each conv at
+        # 256^2 is ~1 GFLOP x batch.
+        for dtype in (jnp.bfloat16, jnp.int8):
+            bench(50, 32, 32, 512, 512, dtype, 100)    # mid / level 3
+            bench(50, 64, 64, 512, 512, dtype, 50)     # level 2
+            bench(50, 128, 128, 512, 256, dtype, 25)   # level 1
+            bench(50, 256, 256, 256, 128, dtype, 12)   # level 0 entry
+            bench(50, 256, 256, 128, 128, dtype, 12)   # level 0 body
+    else:
+        for dtype in (jnp.bfloat16, jnp.int8):
+            bench(50, 32, 32, 256, 256, dtype, 400)   # top UNet stage
+            bench(50, 16, 16, 512, 512, dtype, 400)   # mid stage
+            bench(50, 8, 8, 1024, 1024, dtype, 400)   # bottleneck

@@ -55,7 +55,8 @@ def main(which):
     ode = {"solver": "fixed", "solver_fix": "euler",
            "solver_fix_step": 1.0 / STEPS}
 
-    cases = {"bf16": False, "int8": True}
+    cases = {"bf16": False, "int8": True,
+             "conv8": "conv8", "dense8": "dense8"}
     todo = [which] if which in cases else list(cases)
     for name in todo:
         model = build(cases[name])
@@ -77,7 +78,7 @@ def main(which):
         per_batch = (time.perf_counter() - t0) / REPS
         print(f"unet {name}: {BATCH / per_batch:.2f} img/s", flush=True)
 
-    if len(todo) == 2:
+    if len(todo) > 1:
         # quality: one mid-trajectory field eval, int8 vs bf16
         xq = jax.random.normal(jax.random.fold_in(rng, 5),
                                (8, 32, 32, 4), jnp.float32)

@@ -98,3 +98,56 @@ def test_trained_t2i_editing_end_to_end(tmp_path):
     assert abs(cg["margins"][0]) < 0.5 * cg["margins"][1], cg
     assert cg["margins"][2] >= 0.9 * cg["margins"][1], cg
     assert (tmp_path / "e2e" / "t2i_sweeps.png").exists()
+
+
+@pytest.mark.slow
+def test_unet_int8_view_quality_gate_on_trained_weights(tmp_path):
+    """The UNet analogue of the U-ViT trained-weights int8 gate
+    (test_editing_e2e.py): the W8A8 failure mode — per-channel
+    activation outliers — emerges with training, so the Int8Conv view
+    must be gated on a genuinely trained SD-UNet, not random init. Toy
+    unet_t2i (configs/synthetic_t2i_unet_e2e) trained briefly, then the
+    full sampling ODE compared int8-vs-f32 from shared noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from uspace_tpu.configs.common import nnet_kwargs
+    from uspace_tpu.configs.synthetic_t2i_unet_e2e import get_config
+    from uspace_tpu.core import flow
+    from uspace_tpu.models import get_nnet
+    from uspace_tpu.train.loop import train
+
+    cfg = get_config()
+    cfg.compute_dtype = "float32"
+    cfg.train.ema_rate = 0.99
+    cfg.train.n_steps = 250
+    cfg.train.batch_size = 64
+    cfg.train.log_interval = 250
+    cfg.train.eval_interval = 250
+    cfg.train.save_interval = 250
+    cfg.dataset.num = 512
+    cfg.dl.num_workers = 2
+    cfg.sample.n_samples = 4
+    cfg.sample.mini_batch_size = 4
+    cfg.sample.sample_steps = 8
+    state = train(cfg, str(tmp_path / "train"))
+    params = {"params": state.ema_params["params"]}
+
+    kw = nnet_kwargs(cfg.nnet)
+    model = get_nnet(cfg.nnet.name, **kw)
+    model_q = get_nnet(cfg.nnet.name, **kw, quant=True)
+    ds_shape = tuple(cfg.dataset.shape)
+    z = jax.random.normal(jax.random.PRNGKey(7),
+                          (8, ds_shape[0], ds_shape[1], ds_shape[2] // 2))
+    ctx = jax.random.normal(jax.random.PRNGKey(8),
+                            (8, cfg.dataset.num_tokens, cfg.dataset.ctx_dim))
+    ode = {"solver": "fixed", "solver_fix": "euler", "solver_fix_step": 0.125}
+    a = flow.decode(lambda t, x: model.apply(params, x, t, ctx)[0], z, ode)
+    b = flow.decode(lambda t, x: model_q.apply(params, x, t, ctx)[0], z, ode)
+    af = np.asarray(a, np.float64).ravel()
+    bf = np.asarray(b, np.float64).ravel()
+    cos = af @ bf / (np.linalg.norm(af) * np.linalg.norm(bf))
+    rel = np.linalg.norm(af - bf) / np.linalg.norm(af)
+    assert cos > 0.99, (cos, rel)
+    assert rel < 0.15, (cos, rel)
+    assert jnp.isfinite(jnp.asarray(bf)).all()

@@ -34,7 +34,7 @@ from flax import linen as nn
 
 from ..editing.specs import USpaceEdit
 from ..ops.attention import multi_head_attention
-from .layers import Int8Dense, _qmodes, timestep_embedding
+from .layers import Int8Dense, timestep_embedding
 
 Array = jax.Array
 
@@ -69,12 +69,18 @@ class Int8Conv(nn.Module):
 
 def _conv(quant, features, kernel_size, *, strides=(1, 1), padding="SAME",
           kernel_init=nn.initializers.lecun_normal(), dtype, name):
-    """nn.Conv or its int8 twin, same param tree either way. Only the
-    W8A8 view quantizes ("w8" would leave int8->bf16 dequant casts in
-    the conv path, which Mosaic/XLA relayouts make a wash — measured on
-    the dense w8 view, docs/ROUND3.md)."""
-    w8a8, _ = _qmodes(quant)
-    if w8a8:
+    """nn.Conv or its int8 twin, same param tree either way.
+
+    The UNet's measured-optimal int8 view (``quant=True``) quantizes the
+    CONVS ONLY: on TPU the int8 MXU conv wins even with the unfused
+    dynamic-quantize passes around XLA's conv (24.1 vs 21.7 img/s at the
+    bench shape), while Int8Dense on the UNet's transformer shapes LOSES
+    to bf16 (19.4 img/s — the quantize/dequant HBM passes around small
+    [L,C] dots cost more than the int8 dots save; the U-ViT only wins
+    there because its Pallas kernels quantize in-VMEM). Full W8A8
+    ("w8a8") and denses-only ("dense8") stay selectable as diagnostic
+    views. Measurements: experiments/int8_unet_probe.py."""
+    if quant in (True, "w8a8", "conv8"):
         return Int8Conv(features, tuple(kernel_size), strides=strides,
                         padding=padding, kernel_init=kernel_init,
                         dtype=dtype, name=name)
@@ -83,9 +89,9 @@ def _conv(quant, features, kernel_size, *, strides=(1, 1), padding="SAME",
 
 
 def _udense(quant, features, *, use_bias=True, dtype, name):
-    """nn.Dense or Int8Dense with the UNet's (flax-default) init."""
-    w8a8, _ = _qmodes(quant)
-    cls = Int8Dense if w8a8 else nn.Dense
+    """nn.Dense or Int8Dense with the UNet's (flax-default) init.
+    See `_conv`: ``quant=True`` leaves these bf16 (measured faster)."""
+    cls = Int8Dense if quant in ("w8a8", "dense8") else nn.Dense
     return cls(features, use_bias=use_bias, dtype=dtype,
                kernel_init=nn.initializers.lecun_normal(), name=name)
 
@@ -110,7 +116,7 @@ class ResBlock(nn.Module):
     use_scale_shift_norm: bool = False
     updown: int = 0  # +1 up, -1 down, 0 none (resblock_updown variants)
     dtype: Any = jnp.float32
-    quant: Any = False  # False | True ("w8a8") | "w8"
+    quant: Any = False  # False | True ("conv8") | "w8a8" | "dense8"
 
     @nn.compact
     def __call__(self, x: Array, emb: Array) -> Array:
@@ -309,12 +315,15 @@ class UNet(nn.Module):
     legacy: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
-    # int8 W8A8 sampling view (ops/quant.py): quantizes every ResBlock /
-    # up/down / SpatialTransformer conv (int8 MXU convs measured
-    # 1.2-1.6x bf16, experiments/int8_conv_probe.py) and the transformer
-    # Dense layers. Param tree identical to the bf16 view. The in/out
-    # boundary convs stay bf16 (negligible FLOPs, output precision).
-    quant: Any = False  # False | True ("w8a8") | "w8"
+    # int8 W8A8 sampling view (ops/quant.py): quant=True quantizes every
+    # ResBlock / up/down / SpatialTransformer CONV (int8 MXU convs
+    # measured 1.2-1.6x bf16, experiments/int8_conv_probe.py; whole-model
+    # 24.1 vs 21.7 img/s) and leaves the transformer Denses bf16 —
+    # Int8Dense at these [L,C] shapes measured a net LOSS (see _conv).
+    # "w8a8"/"dense8" select the full / denses-only diagnostic views.
+    # Param tree identical to the bf16 view. The in/out boundary convs
+    # stay bf16 (negligible FLOPs, output precision).
+    quant: Any = False  # False | True ("conv8") | "w8a8" | "dense8"
 
     def _heads(self, ch: int) -> Tuple[int, int]:
         if self.num_head_channels == -1:
