@@ -50,6 +50,29 @@ class TestVAEModule:
         dec = vae.apply(params, z, method=vae.decode)
         assert dec.shape == (2, 32, 32, 3)
 
+    def test_int8_decode_view(self, rng):
+        """quant=True decode view: identical param tree to the plain
+        view (any converted checkpoint loads into either), output close
+        to the f32 decode. Real-SD-weights gate: evals/asset_validation.
+        validate_vae + tests/test_assets.py (asset-gated)."""
+        vae = AutoencoderKL(ddconfig=TINY_DD, embed_dim=4)
+        vae_q = AutoencoderKL(ddconfig=TINY_DD, embed_dim=4, quant=True)
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        params = vae.init(rng, x, rng)
+        params_q = vae_q.init(rng, x, rng)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(params_q))
+        assert all(a.shape == b.shape and a.dtype == b.dtype
+                   for a, b in zip(jax.tree_util.tree_leaves(params),
+                                   jax.tree_util.tree_leaves(params_q)))
+        z = jax.random.normal(jax.random.fold_in(rng, 1), (2, 16, 16, 4))
+        dec = np.asarray(vae.apply(params, z, method=vae.decode), np.float64)
+        dec_q = np.asarray(vae_q.apply(params, z, method=vae_q.decode),
+                           np.float64)
+        rel = np.linalg.norm(dec - dec_q) / np.linalg.norm(dec)
+        assert np.isfinite(dec_q).all()
+        assert rel < 0.05, rel
+
     def test_sample_statistics(self, rng):
         vae = AutoencoderKL(ddconfig=TINY_DD, embed_dim=4, scale_factor=0.5)
         mean = jnp.full((1, 4, 4, 4), 2.0)

@@ -42,9 +42,27 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
+def _conv3(quant, out_ch, *, dtype, name, strides=(1, 1), padding="SAME"):
+    """3x3 nn.Conv or its int8 twin (same param tree). The int8 decode
+    view quantizes the 3x3 convs only — they carry the decoder's FLOPs;
+    raw int8 conv rate measured 1.1-1.6x bf16 at the decoder's shapes
+    (experiments/int8_conv_probe.py `vae`). 1x1 convs (nin_shortcut,
+    attn projections, quant convs) and the in/out boundary convs stay at
+    `dtype` (small FLOPs / output precision), mirroring the SD-UNet's
+    convs-only view (models/unet.py `_conv`)."""
+    if quant:
+        from ..models.layers import Int8Conv
+
+        return Int8Conv(out_ch, (3, 3), strides=strides, padding=padding,
+                        dtype=dtype, name=name)
+    return nn.Conv(out_ch, (3, 3), strides=strides, padding=padding,
+                   dtype=dtype, name=name)
+
+
 class ResnetBlock(nn.Module):
     out_channels: Optional[int] = None
     dtype: Any = jnp.float32
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x):
@@ -53,13 +71,11 @@ class ResnetBlock(nn.Module):
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
                          name="norm1")(x)
         h = swish(h)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype,
-                    name="conv1")(h)
+        h = _conv3(self.quant, out_ch, dtype=self.dtype, name="conv1")(h)
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
                          name="norm2")(h)
         h = swish(h)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype,
-                    name="conv2")(h)
+        h = _conv3(self.quant, out_ch, dtype=self.dtype, name="conv2")(h)
         if in_ch != out_ch:
             x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
@@ -108,13 +124,13 @@ class Upsample(nn.Module):
     """2x nearest upsample + k3 conv (autoencoder.py:35-50)."""
 
     dtype: Any = jnp.float32
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
-        return nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype,
-                       name="conv")(x)
+        return _conv3(self.quant, c, dtype=self.dtype, name="conv")(x)
 
 
 class Encoder(nn.Module):
@@ -163,6 +179,7 @@ class Decoder(nn.Module):
     resolution: int = 256
     z_channels: int = 4
     dtype: Any = jnp.float32
+    quant: Any = False  # int8 decode view: 3x3 convs via Int8Conv
 
     @nn.compact
     def __call__(self, z):
@@ -171,19 +188,22 @@ class Decoder(nn.Module):
         curr_res = self.resolution // 2 ** (num_res - 1)
         h = nn.Conv(block_in, (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv_in")(z)
-        h = ResnetBlock(dtype=self.dtype, name="mid_block_1")(h)
+        h = ResnetBlock(dtype=self.dtype, quant=self.quant,
+                        name="mid_block_1")(h)
         h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(dtype=self.dtype, name="mid_block_2")(h)
+        h = ResnetBlock(dtype=self.dtype, quant=self.quant,
+                        name="mid_block_2")(h)
         for i_level in reversed(range(num_res)):
             for i_block in range(self.num_res_blocks + 1):
                 h = ResnetBlock(out_channels=self.ch * self.ch_mult[i_level],
-                                dtype=self.dtype,
+                                dtype=self.dtype, quant=self.quant,
                                 name=f"up_{i_level}_block_{i_block}")(h)
                 if curr_res in self.attn_resolutions:
                     h = AttnBlock(dtype=self.dtype,
                                   name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
-                h = Upsample(dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
+                h = Upsample(dtype=self.dtype, quant=self.quant,
+                             name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
                          name="norm_out")(h)
@@ -201,6 +221,13 @@ class AutoencoderKL(nn.Module):
     embed_dim: int = SD_EMBED_DIM
     scale_factor: float = SD_SCALE_FACTOR
     dtype: Any = jnp.float32
+    # int8 DECODE view (sampling-time only): the decoder's 3x3 convs run
+    # as int8 MXU convs (see `_conv3`). Param tree identical to the
+    # plain view, encoder untouched. Quality is asset-gated against the
+    # real SD weights (tests/test_assets.py) and probed at random init
+    # (tests/test_codecs.py) — weight outliers can shift with the real
+    # checkpoint, so treat it as an opt-in deployment view.
+    quant: Any = False
 
     def setup(self):
         cfg = dict(self.ddconfig or SD_CONFIG)
@@ -219,7 +246,7 @@ class AutoencoderKL(nn.Module):
             num_res_blocks=cfg["num_res_blocks"],
             attn_resolutions=tuple(cfg["attn_resolutions"]),
             resolution=cfg["resolution"], z_channels=cfg["z_channels"],
-            dtype=self.dtype,
+            dtype=self.dtype, quant=self.quant,
         )
         zc = cfg["z_channels"]
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1),

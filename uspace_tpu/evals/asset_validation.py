@@ -98,8 +98,19 @@ def validate_vae(path: str, tol: float = 5e-3) -> Dict[str, Any]:
             torch.from_numpy(z.transpose(0, 3, 1, 2))).numpy()
     e_m = _maxerr(moments.transpose(0, 3, 1, 2), m_ref)
     e_r = _maxerr(recon.transpose(0, 3, 1, 2), r_ref)
-    out.update(ok=(e_m < tol and e_r < tol),
-               moments_maxerr=e_m, decode_maxerr=e_r, tol=tol)
+    # int8 decode view on the REAL SD weights (the random-init probes in
+    # tests/test_codecs.py can't see trained-weight outliers): pixel
+    # rel-L2 of quant=True decode vs the reference torch decode.
+    vae_q = AutoencoderKL(quant=True)
+    recon_q = np.asarray(vae_q.apply(params, jnp.asarray(z),
+                                     method=vae_q.decode), np.float64)
+    rel_q = float(
+        np.linalg.norm(recon_q.transpose(0, 3, 1, 2).ravel()
+                       - r_ref.ravel())
+        / np.linalg.norm(r_ref.ravel()))
+    out.update(ok=(e_m < tol and e_r < tol and rel_q < 0.05),
+               moments_maxerr=e_m, decode_maxerr=e_r,
+               int8_decode_rel_l2=rel_q, tol=tol)
     return out
 
 

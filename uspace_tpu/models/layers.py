@@ -158,6 +158,34 @@ class Int8Dense(nn.Module):
         return int8_dense(x, k, b, out_dtype=self.dtype)
 
 
+class Int8Conv(nn.Module):
+    """W8A8 NHWC conv with nn.Conv's exact param tree (kernel HWIO f32 +
+    bias), so any checkpoint loads into either view. Compute path:
+    ops/quant.int8_conv (int8 MXU conv, int32 accum, per-image x
+    per-out-channel dequant epilogue). Used by the SD-UNet's convs-only
+    int8 sampling view (models/unet.py `_conv`) and the SD-VAE's int8
+    decode view (codecs/vae.py)."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: Any = "SAME"
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_conv
+
+        k = self.param(
+            "kernel", self.kernel_init,
+            (*self.kernel_size, x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return int8_conv(x, k, b, self.strides, self.padding,
+                         out_dtype=self.dtype)
+
+
 def _qmodes(quant) -> tuple:
     """Normalize the ``quant`` view flag: ``True``/"w8a8" = int8 W8A8
     (weights AND activations); "w8" = int8 weights, bf16 activations —

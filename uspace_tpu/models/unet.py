@@ -34,37 +34,11 @@ from flax import linen as nn
 
 from ..editing.specs import USpaceEdit
 from ..ops.attention import multi_head_attention
-from .layers import Int8Dense, timestep_embedding
+from .layers import Int8Conv, Int8Dense, timestep_embedding
 
 Array = jax.Array
 
 zero_init = nn.initializers.zeros
-
-
-class Int8Conv(nn.Module):
-    """W8A8 NHWC conv with nn.Conv's exact param tree (kernel HWIO f32 +
-    bias), so any checkpoint loads into either view. Compute path:
-    ops/quant.int8_conv (int8 MXU conv, int32 accum, per-image x
-    per-out-channel dequant epilogue)."""
-
-    features: int
-    kernel_size: Tuple[int, int] = (3, 3)
-    strides: Tuple[int, int] = (1, 1)
-    padding: Any = "SAME"
-    kernel_init: Any = nn.initializers.lecun_normal()
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        from ..ops.quant import int8_conv
-
-        k = self.param(
-            "kernel", self.kernel_init,
-            (*self.kernel_size, x.shape[-1], self.features), jnp.float32)
-        b = self.param("bias", nn.initializers.zeros,
-                       (self.features,), jnp.float32)
-        return int8_conv(x, k, b, self.strides, self.padding,
-                         out_dtype=self.dtype)
 
 
 def _conv(quant, features, kernel_size, *, strides=(1, 1), padding="SAME",
