@@ -232,3 +232,31 @@ class TestLoader:
         # second epoch may differ (access-count entropy) but stays valid
         pa2 = [a[i]["caption"] for i in range(4)]
         assert all(c.startswith("caption") for c in pa2)
+
+
+class TestLoaderFastForward:
+    """infinite(start_step=k) must continue the exact batch sequence an
+    uninterrupted run would consume (preemption-resume data fidelity;
+    the reference's torch DataLoader restarts its sampler on resume)."""
+
+    def test_matches_skipping(self):
+        ds = SyntheticFeatures(num=10, shape=(2, 2, 2))
+        def stream(start):
+            dl = DataLoader(ds, batch_size=3, num_workers=1, seed=7)
+            return dl.infinite(start_step=start)
+
+        full = stream(0)
+        ref = [next(full)["x"] for _ in range(9)]  # spans 3+ epochs (nb=3)
+        for k in (1, 3, 4, 8):  # mid-epoch, boundary, next-epoch, deep
+            it = stream(k)
+            got = [next(it)["x"] for _ in range(9 - k)]
+            for a, b in zip(got, ref[k:]):
+                assert np.array_equal(a, b)
+
+    def test_n_batches_constant(self):
+        ds = SyntheticFeatures(num=10, shape=(2, 2, 2))
+        dl = DataLoader(ds, batch_size=3, num_workers=1)
+        assert dl.n_batches() == 3
+        assert sum(1 for _ in dl.epoch(0)) == 3
+        assert sum(1 for _ in dl.epoch(0, start_batch=2)) == 1
+        assert sum(1 for _ in dl.epoch(0, start_batch=3)) == 0

@@ -65,6 +65,16 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
 
+    def n_batches(self) -> int:
+        """Batches every process emits per epoch (constant across
+        epochs — depends only on dataset size, so resume can map a
+        global step to (epoch, batch) without building indices)."""
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // (self.process_count * self.batch_size)
+        longest = -(-n // self.process_count)
+        return -(-longest // self.batch_size)
+
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
         idx = np.arange(n)
@@ -77,11 +87,9 @@ class DataLoader:
         # and a per-shard count would let processes roll into the next
         # epoch (and its new permutation) at different times, breaking
         # the disjoint-shard guarantee across hosts
-        if self.drop_last:
-            n_batches = n // (self.process_count * self.batch_size)
-        else:
+        n_batches = self.n_batches()
+        if not self.drop_last:
             longest = -(-n // self.process_count)
-            n_batches = -(-longest // self.batch_size)
             if len(shard) < longest:  # shorter shards wrap (like
                 # torch's DistributedSampler) so every process emits the
                 # same batch count
@@ -89,14 +97,15 @@ class DataLoader:
                 shard = np.concatenate([shard, shard[:pad]])
         return shard, n_batches
 
-    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
+    def epoch(self, epoch: int = 0,
+              start_batch: int = 0) -> Iterator[Dict[str, Any]]:
         # announce the epoch for per-epoch deterministic augmentation
         # (caption draws / CFG drops key their rng on (seed, idx, epoch))
         set_fn = getattr(self.dataset, "set_epoch", None)
         if set_fn is not None:
             set_fn(epoch)
         shard, n_batches = self._epoch_indices(epoch)
-        if n_batches == 0:
+        if n_batches == 0 or start_batch >= n_batches:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -115,7 +124,7 @@ class DataLoader:
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in range(n_batches):
+                    for b in range(start_batch, n_batches):
                         if stop.is_set():
                             return
                         ids = shard[b * self.batch_size:
@@ -144,10 +153,21 @@ class DataLoader:
     def __iter__(self):
         return self.epoch(0)
 
-    def infinite(self) -> Iterator[Dict[str, Any]]:
+    def infinite(self, start_step: int = 0) -> Iterator[Dict[str, Any]]:
         """Cycle epochs forever with reshuffling (the training loop's
-        data generator, reference train_lfm.py:129-137)."""
-        epoch = 0
+        data generator, reference train_lfm.py:129-137).
+
+        ``start_step`` fast-forwards to the batch a run resumed at step
+        N would consume next, by INDEX SLICING (no wasted IO): the first
+        epoch yielded is ``N // n_batches`` starting at batch
+        ``N % n_batches``, so an interrupted+resumed run sees the exact
+        batch sequence of an uninterrupted one (the reference's torch
+        DataLoader restarts its sampler from scratch on resume —
+        train_lfm.py:129-137 — losing data-order reproducibility)."""
+        nb = self.n_batches()
+        epoch, skip = ((start_step // nb, start_step % nb) if nb
+                       else (0, 0))
         while True:
-            yield from self.epoch(epoch)
+            yield from self.epoch(epoch, start_batch=skip)
             epoch += 1
+            skip = 0

@@ -51,6 +51,16 @@ class CheckpointManager:
     def all_steps(self):
         return sorted(self._mgr.all_steps())
 
+    def reached_preemption(self, step: int) -> bool:
+        """True when the JAX distributed runtime has flagged an imminent
+        preemption (orbax's multihost sync point — every host returns
+        the same answer at the same step). False when running without a
+        distributed coordinator (single-process, CPU tests)."""
+        try:
+            return bool(self._mgr.reached_preemption(step))
+        except Exception:
+            return False
+
     def restore(self, state_like: TrainState,
                 step: Optional[int] = None) -> TrainState:
         """Restore into the structure (and shardings) of ``state_like``."""

@@ -33,6 +33,7 @@ from ..parallel import mesh as meshlib
 from ..utils.logging_utils import MetricsWriter, dct2str, set_logger
 from ..utils.vis import make_grid, save_image
 from .checkpoint import CheckpointManager, load_pretrained_nnet, try_resume
+from .preemption import GracefulShutdown
 from .state import TrainState, get_lr_schedule, get_optimizer
 from .step import make_train_step, make_velocity_fn
 
@@ -319,12 +320,49 @@ def _train_body(exp: "Experiment", config) -> TrainState:
     if start_step:
         logging.info("resumed at step %d", start_step)
     step_fn = exp.train_step_fn()
-    data = exp.loader.infinite()
+    # fast-forward the data order to the resume point: interrupted +
+    # resumed runs consume the exact batch sequence of an uninterrupted
+    # one (index slicing, no wasted IO — data/loader.py)
+    data = exp.loader.infinite(start_step=start_step)
     rng = jax.random.fold_in(exp.rng, 1)
 
     profile_dir = cfg.train.get("profile_dir", None)
-    t_last = time.time()
     fid_by_step: Dict[int, float] = {}
+    stop = GracefulShutdown()
+    with stop:
+        state, preempted = _train_steps(
+            exp, cfg, state, step_fn, data, rng, metrics_w,
+            profile_dir, fid_by_step, start_step, is_main, stop)
+    step = int(state.step)
+    if preempted:
+        return state  # preempted: checkpoint already written
+
+    exp.ckpt.save(state, step, wait=True)
+    # best-FID checkpoint selection + final full-size eval on it
+    # (reference train_lfm.py:328-338)
+    if fid_by_step:
+        best = min(fid_by_step, key=fid_by_step.get)
+        logging.info("best small-FID %.3f at step %d", fid_by_step[best], best)
+        if is_main:
+            with open(os.path.join(exp.workdir, "best_ckpt.txt"), "w") as f:
+                f.write(f"{best} {fid_by_step[best]}\n")
+        best_state = exp.ckpt.restore(state, best)
+        final_fid = (_eval_fid(exp, best_state, best,
+                               n_samples=cfg.sample.n_samples,
+                               tag="final") if is_main else None)
+        if final_fid is not None:
+            logging.info("final FID (%d samples) %.4f",
+                         cfg.sample.n_samples, final_fid)
+            metrics_w.write(best, {"final_fid": final_fid})
+    return state
+
+
+def _train_steps(exp: "Experiment", cfg, state, step_fn, data, rng,
+                 metrics_w, profile_dir, fid_by_step, start_step,
+                 is_main, stop: GracefulShutdown):
+    """The step loop. Returns ``(state, preempted)``; on preemption the
+    final checkpoint has already been written (wait=True)."""
+    t_last = time.time()
     step = start_step
     while step < cfg.train.n_steps:
         if profile_dir and step == start_step + 10:
@@ -358,27 +396,29 @@ def _train_body(exp: "Experiment", config) -> TrainState:
                 fid_by_step[step] = fid
                 metrics_w.write(step, {"fid": fid})
 
+        # graceful preemption: SIGTERM latched by the guard, or the
+        # distributed runtime's synchronized notice (orbax). Save ONE
+        # final checkpoint and exit; resume continues bit-exactly
+        # (data order fast-forwarded above, step rng keyed on
+        # state.step). The reference loses everything since its last
+        # periodic save here.
+        if stop.requested or exp.ckpt.reached_preemption(step):
+            if profile_dir and start_step + 10 < step < start_step + 13:
+                jax.profiler.stop_trace()
+            if exp.ckpt.latest_step() != step:  # skip double-save when
+                # the signal landed on a save_interval step
+                exp.ckpt.save(state, step, wait=True)
+            else:
+                exp.ckpt.wait()
+            logging.info("preemption at step %d: checkpoint saved, "
+                         "exiting cleanly", step)
+            if is_main:
+                metrics_w.write(step, {"preempted": 1.0})
+            return state, True
+
     if profile_dir and start_step + 10 < step < start_step + 13:
         jax.profiler.stop_trace()  # run ended inside the trace window
-
-    exp.ckpt.save(state, step, wait=True)
-    # best-FID checkpoint selection + final full-size eval on it
-    # (reference train_lfm.py:328-338)
-    if fid_by_step:
-        best = min(fid_by_step, key=fid_by_step.get)
-        logging.info("best small-FID %.3f at step %d", fid_by_step[best], best)
-        if is_main:
-            with open(os.path.join(exp.workdir, "best_ckpt.txt"), "w") as f:
-                f.write(f"{best} {fid_by_step[best]}\n")
-        best_state = exp.ckpt.restore(state, best)
-        final_fid = (_eval_fid(exp, best_state, best,
-                               n_samples=cfg.sample.n_samples,
-                               tag="final") if is_main else None)
-        if final_fid is not None:
-            logging.info("final FID (%d samples) %.4f",
-                         cfg.sample.n_samples, final_fid)
-            metrics_w.write(best, {"final_fid": final_fid})
-    return state
+    return state, False
 
 
 def _vis(exp: Experiment, state: TrainState, step: int) -> None:
