@@ -69,6 +69,32 @@ class TestTrainStep:
         z2 = sample_from_moments(moments, jax.random.PRNGKey(2))
         assert float(jnp.abs(z1 - z2).max()) > 1e-3
 
+    def test_nonfinite_batch_is_skipped(self, rng):
+        """Failure detection: a NaN batch must not touch params/EMA/opt
+        state (the update is skipped, the step counter advances, the
+        metric flags it) and training continues on the next good batch."""
+        model, tx, state, lr = _setup()
+        step = jax.jit(make_train_step(model, tx, lr_schedule=lr))
+        good = {"x": jax.random.normal(rng, (4, 8, 8, 4))}
+        state, m = step(state, good, rng)
+        assert float(m["nonfinite_skip"]) == 0.0
+        before = jax.tree.leaves(state.params)
+
+        bad = {"x": good["x"].at[0, 0, 0, 0].set(jnp.nan)}
+        state, m = step(state, bad, rng)
+        assert float(m["nonfinite_skip"]) == 1.0
+        assert not np.isfinite(float(m["loss"]))
+        after = jax.tree.leaves(state.params)
+        for a, b in zip(before, after):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert int(state.step) == 2  # counter advanced past the bad batch
+
+        state, m = step(state, good, rng)  # recovery: finite update
+        assert float(m["nonfinite_skip"]) == 0.0
+        assert np.isfinite(float(m["loss"]))
+        assert not np.array_equal(np.asarray(jax.tree.leaves(state.params)[0]),
+                                  np.asarray(before[0]))
+
     def test_sample_fn_shapes(self, rng):
         model, tx, state, lr = _setup()
         sample_fn = make_sample_fn(model, (8, 8, 4), sample_steps=5)

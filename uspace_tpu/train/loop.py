@@ -164,6 +164,7 @@ class Experiment:
                 lr_schedule=self.lr_schedule,
                 latents_from_moments=self.config.train.get("from_moments", True),
                 vae_scale=self.config.autoencoder.get("scale_factor", 0.18215),
+                skip_nonfinite=self.config.train.get("skip_nonfinite", True),
             )
             self._train_step = jax.jit(
                 step,

@@ -144,11 +144,21 @@ def make_train_step(
     lr_schedule: Optional[Callable] = None,
     latents_from_moments: bool = False,
     vae_scale: float = 0.18215,
+    skip_nonfinite: bool = True,
 ):
     """Build the jittable train step.
 
     batch: {'x': latents|moments [B,H,W,C], 'y': labels?|None,
     'context': clip?|None}. Returns (new_state, metrics).
+
+    ``skip_nonfinite``: failure detection in the hot path — when the
+    loss or any gradient leaf is NaN/Inf (bad record, bf16 overflow),
+    the parameter/EMA/optimizer update is SKIPPED for that step (the
+    step counter still advances so data and rng move past the bad
+    batch) and ``metrics["nonfinite_skip"]`` flags it. One fused select
+    inside the compiled step — no host round-trip, SPMD-safe (the psum
+    makes the flag identical on every device). The reference has no
+    guard: a single NaN batch silently corrupts its Adam moments.
     """
 
     def train_step(state: TrainState, batch: Dict[str, Any], rng: Array):
@@ -165,6 +175,7 @@ def make_train_step(
             return per_sample.mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grad_norm = optax.global_norm(grads)
         if isinstance(tx, FusedAdam):
             new_params, new_ema, new_opt_state = _fused_adam_ema(
                 tx, state, grads, ema_rate)
@@ -173,16 +184,29 @@ def make_train_step(
                                                state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_ema = ema_update(new_params, state.ema_params, ema_rate)
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+        }
+        if skip_nonfinite:
+            # a NaN/Inf in ANY gradient leaf propagates into global_norm,
+            # so two scalars cover the whole tree
+            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+
+            def keep(new, old):
+                return jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                    new, old)
+
+            new_params = keep(new_params, state.params)
+            new_ema = keep(new_ema, state.ema_params)
+            new_opt_state = keep(new_opt_state, state.opt_state)
+            metrics["nonfinite_skip"] = 1.0 - ok.astype(jnp.float32)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             ema_params=new_ema,
             opt_state=new_opt_state,
         )
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-        }
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)
         return new_state, metrics
