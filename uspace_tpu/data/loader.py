@@ -165,8 +165,16 @@ class DataLoader:
         DataLoader restarts its sampler from scratch on resume —
         train_lfm.py:129-137 — losing data-order reproducibility)."""
         nb = self.n_batches()
-        epoch, skip = ((start_step // nb, start_step % nb) if nb
-                       else (0, 0))
+        if nb == 0:
+            # dataset smaller than one per-process batch (with drop_last):
+            # the cycle below would busy-spin forever yielding nothing —
+            # surface the misconfiguration instead
+            raise ValueError(
+                f"DataLoader yields 0 batches/epoch: len(dataset)="
+                f"{len(self.dataset)} < process_count({self.process_count})"
+                f" * batch_size({self.batch_size}) with drop_last="
+                f"{self.drop_last}")
+        epoch, skip = start_step // nb, start_step % nb
         while True:
             yield from self.epoch(epoch, start_batch=skip)
             epoch += 1

@@ -37,6 +37,7 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True
             ),
         )
+        self._warned_preemption = False
 
     def save(self, state: TrainState, step: Optional[int] = None,
              wait: bool = False) -> None:
@@ -55,10 +56,27 @@ class CheckpointManager:
         """True when the JAX distributed runtime has flagged an imminent
         preemption (orbax's multihost sync point — every host returns
         the same answer at the same step). False when running without a
-        distributed coordinator (single-process, CPU tests)."""
+        distributed coordinator (single-process, CPU tests).
+
+        Only RuntimeError is swallowed (raised when a multihost run has
+        the preemption service disabled), and loudly, once: silently
+        returning False there would hide that the operator's
+        synchronized-preemption path is dead. orbax itself already
+        returns False when no distributed client exists."""
         try:
             return bool(self._mgr.reached_preemption(step))
-        except Exception:
+        except RuntimeError as e:
+            if not self._warned_preemption:
+                self._warned_preemption = True
+                import warnings
+
+                warnings.warn(
+                    "reached_preemption unavailable (preemption service "
+                    f"disabled under an initialized distributed client?): {e!r}"
+                    " — falling back to False; synchronized preemption "
+                    "checkpointing will NOT fire.",
+                    RuntimeWarning,
+                )
             return False
 
     def restore(self, state_like: TrainState,

@@ -102,6 +102,24 @@ def _fused_adam_ema(tx: FusedAdam, state: TrainState, grads,
     return unflatten(np_l), unflatten(ne_l), tuple(new_opt)
 
 
+def _applied_update_count(opt_state):
+    """Adam's bias-correction count = number of optimizer updates actually
+    APPLIED. Differs from ``state.step`` once ``skip_nonfinite`` rolls an
+    update back (the step counter still advances past the bad batch), so
+    LR reporting keys on this, matching what FusedAdam/scale_by_schedule
+    will feed the schedule. None when the opt_state carries no Adam state
+    (plain SGD-ish chains) — callers fall back to ``state.step``."""
+    hits = [
+        leaf.count
+        for leaf in jax.tree.leaves(
+            opt_state,
+            is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState),
+        )
+        if isinstance(leaf, optax.ScaleByAdamState)
+    ]
+    return hits[0] if hits else None
+
+
 def make_velocity_fn(model, params, cond: Dict[str, Any],
                      **apply_kwargs) -> Callable:
     """Close a flax denoiser over params + conditioning.
@@ -208,7 +226,12 @@ def make_train_step(
             opt_state=new_opt_state,
         )
         if lr_schedule is not None:
-            metrics["lr"] = lr_schedule(state.step)
+            # report the lr the optimizer actually used this step: keyed
+            # on the APPLIED-update count (rolled back on nonfinite
+            # skips), not state.step, which keeps advancing past skips
+            count = _applied_update_count(state.opt_state)
+            metrics["lr"] = lr_schedule(
+                state.step if count is None else count)
         return new_state, metrics
 
     return train_step
