@@ -91,6 +91,55 @@ def test_sample_cli_from_checkpoint(tmp_path):
     assert np.isfinite(arr).all()
 
 
+@pytest.mark.slow
+def test_in_loop_fid_pipeline(tmp_path):
+    """The in-loop FID path executed end-to-end: sample -> (identity)
+    decode -> inception featurize -> Frechet -> fid_by_step ->
+    best-ckpt selection -> final re-eval on the best checkpoint
+    (reference eval_step + main, train_lfm.py:309-338). Random-init
+    inception + synthetic stats: the FID VALUE is meaningless, the
+    plumbing and best-checkpoint logic are what is under test
+    (VERDICT r3 missing #3)."""
+    import numpy as np
+
+    from uspace_tpu.configs.synthetic_smoke import get_config
+    from uspace_tpu.train.loop import train
+
+    # dataset stats in the pytorch-fid npz format (matched to pool3's
+    # 2048 dims)
+    gen = np.random.default_rng(0)
+    acts = gen.standard_normal((64, 2048))
+    stat = str(tmp_path / "fid_stats_synth.npz")
+    np.savez(stat, mu=acts.mean(0), sigma=np.cov(acts, rowvar=False))
+
+    cfg = get_config()
+    # pixel-like 3-channel model so identity decode feeds RGB images
+    cfg.z_shape = (3, 8, 8)
+    cfg.nnet.in_chans = 3
+    cfg.dataset = type(cfg.dataset)(
+        dict(name="synthetic", num=32, shape=(8, 8, 6), fid_stat=stat))
+    cfg.sample.fid_decode = "identity"
+    cfg.sample.fid_weights = "random"
+    cfg.sample.n_samples = 4
+    cfg.sample.mini_batch_size = 4
+
+    wd = str(tmp_path / "run")
+    train(cfg, wd)
+
+    recs = [json.loads(l) for l in open(wd + "/metrics.jsonl")]
+    fids = [r["fid"] for r in recs if "fid" in r]
+    assert len(fids) == 2 and all(np.isfinite(f) for f in fids), recs
+    # per-save sample dirs written
+    assert sorted(os.path.basename(p) for p in glob.glob(wd + "/eval/*"))
+    best_step, best_fid = open(wd + "/best_ckpt.txt").read().split()
+    assert int(best_step) in (5, 10) and np.isfinite(float(best_fid))
+    assert float(best_fid) == min(fids)
+    finals = [r["final_fid"] for r in recs if "final_fid" in r]
+    assert len(finals) == 1 and np.isfinite(finals[0])
+    # the final re-eval ran on the BEST checkpoint's samples
+    assert os.path.isdir(wd + f"/eval/{best_step}final")
+
+
 def test_solver_kwargs_plumbing(tmp_path):
     """config.sample.solver_kwargs reaches eval sampling: fixed derives
     the step from sample_steps; adaptive selects the reference eval

@@ -588,13 +588,15 @@ class MMCelebAHQ256Features(MSCOCO256Features):
 
 class Synthetic(DatasetFactory):
     def __init__(self, num=256, shape=(32, 32, 8), num_classes=0,
-                 context_shape=None, **_):
+                 context_shape=None, fid_stat=None, **_):
         self.train = SyntheticFeatures(num, shape, num_classes, context_shape)
         self.test = SyntheticFeatures(max(num // 4, 1), shape, num_classes,
                                       context_shape, seed=10_000)
         if num_classes:
             self.K = num_classes
             self.has_label = True
+        if fid_stat:  # lets integration tests exercise the in-loop FID path
+            self.fid_stat = fid_stat
 
     @property
     def data_shape(self):

@@ -56,16 +56,24 @@ class InceptionFeaturizer:
     def __init__(self, weights_path: Optional[str] = None):
         self.model = InceptionV3()
         path = weights_path or DEFAULT_WEIGHTS
-        if not os.path.exists(path):
+        if path == "random":
+            # plumbing-proof mode: a random-init featurizer so the full
+            # sample->decode->featurize->Frechet->best-ckpt pipeline can
+            # execute end-to-end in environments without the pytorch-fid
+            # asset (the FID value is meaningless; the plumbing is not)
+            self.params = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3), jnp.float32))
+        elif not os.path.exists(path):
             raise FileNotFoundError(
                 f"Inception weights not found at {path}; download "
                 "pt_inception-2015-12-05 (pytorch-fid) and point "
                 "weights_path at it."
             )
-        import torch
+        else:
+            import torch
 
-        sd = torch.load(path, map_location="cpu", weights_only=True)
-        self.params = {"params": inception_torch_to_flax(sd)}
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            self.params = {"params": inception_torch_to_flax(sd)}
         # params as an explicit jit argument (closure capture bakes the
         # tree into the executable payload)
         _fwd = jax.jit(lambda p, imgs: self.model.apply(p, imgs))

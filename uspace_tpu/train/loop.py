@@ -461,9 +461,20 @@ def _eval_fid(exp: Experiment, state: TrainState, step: int,
         from ..evals import fid as fid_mod
     except ImportError:
         return None
-    decode = exp.vae()
-    if not decode:
-        return None
+    # config.sample.fid_decode: "vae" (default — latent models decode to
+    # pixels first) | "identity" (pixel-space models: samples ARE images,
+    # reference train_ffmm.py evaluates on pixels directly).
+    # config.sample.fid_weights: inception weights path override;
+    # "random" runs a random-init featurizer so the whole pipeline
+    # (sample -> decode -> featurize -> Frechet -> best-ckpt) can be
+    # exercised without the pytorch-fid asset.
+    if cfg.sample.get("fid_decode", "vae") == "identity":
+        decode = lambda z: z  # noqa: E731
+    else:
+        decode = exp.vae()
+        if not decode:
+            return None
+    fid_weights = cfg.sample.get("fid_weights", None) or None
 
     def sample_images(rng, n):
         cond_rng, z_rng = jax.random.split(rng)
@@ -483,7 +494,8 @@ def _eval_fid(exp: Experiment, state: TrainState, step: int,
         jax.random.fold_in(exp.rng, 3 + step),
     )
     try:
-        return fid_mod.fid_given_paths(fid_stat, out_dir)
+        return fid_mod.fid_given_paths(fid_stat, out_dir,
+                                       weights_path=fid_weights)
     except FileNotFoundError as e:  # missing inception weights: skip FID,
         logging.warning("FID skipped: %s", e)  # never kill a training run
         return None
