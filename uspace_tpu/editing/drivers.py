@@ -205,7 +205,11 @@ class DissectSession:
             # on remote-compile backends at production model sizes)
             e = edit0.replace(scale=scale)
             vf = make_velocity_fn(self.model, params, cond or {}, edit=e)
-            return flow.decode(vf, z, self.solver_kwargs)
+            # t_edit doubles as the fixadp split point (the reference's
+            # interp_ode/interp_ode_unet composition: fixed steps while
+            # the edit is active, adaptive after — flow_matching.py:
+            # 153-180); fixed/adaptive solvers ignore it
+            return flow.decode(vf, z, self.solver_kwargs, t_edit=t_edit)
 
         outs = [one_scale(self.params, jnp.float32(s))
                 for s in write_scales]
