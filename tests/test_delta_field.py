@@ -1,0 +1,148 @@
+"""Base-anchored stage-delta int8 field (core/delta_field.py +
+ops/delta.py).
+
+The adaptive-solver quantization scheme (VERDICT r3 #1): one full int8
+base evaluation per RK step emits a READ-ONLY per-block cache; later
+stages reconstruct every projection from int8 dots on the O(h) stage
+deltas anchored at that cache and emit nothing. These tests pin, on CPU
+(Pallas interpret mode):
+
+- the fused Pallas base evaluation against the plain-XLA composition;
+- bit-exactness of a zero-distance delta evaluation (all deltas
+  quantize to zero -> the reconstruction must reproduce the base
+  exactly — the "quantize-then-use" cache invariant);
+- anchored delta evaluations tracking full evaluations at nearby points
+  (rounding noise ~ h, on top of the base's shared int8 floor);
+- the end-to-end ``odeint_adaptive(..., stage_delta=...)`` solve:
+  solution close to the bf16 view's, NFE not inflated (the whole point
+  of the scheme — plain int8 fields blow up NFE at rtol=atol=1e-5).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    from uspace_tpu.core import delta_field
+    from uspace_tpu.models import UViT
+
+    model = UViT(img_size=8, patch_size=4, in_chans=4, embed_dim=64,
+                 depth=2, num_heads=2, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8, 8, 4), jnp.float32),
+                        jnp.zeros((1,)))
+    dp = delta_field.prepare_delta_params(params)
+    base = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
+        model, dp, t, x, fused=True))
+    delta = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
+        model, dp, t, x, c, fused=True))
+    return model, params, dp, base, delta
+
+
+def _rel(a, b):
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    return float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+
+
+def test_base_fused_matches_unfused(tiny):
+    from uspace_tpu.core import delta_field
+
+    model, _, dp, base, _ = tiny
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 8, 4), jnp.float32)
+    t = jnp.float32(0.3)
+    f_fused, c_fused = base(dp, t, x)
+    f_ref, c_ref = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
+        model, dp, t, x, fused=False))(dp, t, x)
+    # the two differ only in hidden-quantization granularity (per-strip
+    # affine in-kernel vs per-row symmetric in XLA) — int8-noise-level
+    assert _rel(f_fused, f_ref) < 0.03
+    assert set(c_fused.keys()) == set(c_ref.keys())
+    assert _rel(c_fused["mid_block"]["m"], c_ref["mid_block"]["m"]) < 0.05
+
+
+def test_delta_zero_distance_exact(tiny):
+    _, _, dp, base, delta = tiny
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 4), jnp.float32)
+    t = jnp.float32(0.5)
+    f0, cache = base(dp, t, x)
+    f_d = delta(dp, t, x, cache)
+    # all stage deltas are exactly zero -> the reconstruction must
+    # reproduce the base bit-for-bit (quantize-then-use: the base
+    # consumed the dequantized cache values itself)
+    assert _rel(f_d, f0) == 0.0
+
+
+def test_delta_tracks_full(tiny):
+    _, _, dp, base, delta = tiny
+    rng = jax.random.PRNGKey(3)
+    x0 = jax.random.normal(rng, (2, 8, 8, 4), jnp.float32)
+    _, cache = base(dp, jnp.float32(0.3), x0)
+    x1 = x0 + 0.02 * jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    x2 = x0 + 0.05 * jax.random.normal(jax.random.fold_in(rng, 2), x0.shape)
+    f1 = delta(dp, jnp.float32(0.32), x1, cache)
+    f1_full, _ = base(dp, jnp.float32(0.32), x1)
+    f2 = delta(dp, jnp.float32(0.36), x2, cache)
+    f2_full, _ = base(dp, jnp.float32(0.36), x2)
+    # agreement at the level of the base's own int8 rounding (the delta
+    # adds noise ~ h/127, far below the base's ~1/127 floor)
+    assert _rel(f1, f1_full) < 0.04
+    assert _rel(f2, f2_full) < 0.04
+
+
+def test_unfused_delta_zero_distance_exact(tiny):
+    from uspace_tpu.core import delta_field
+
+    model, _, dp, _, _ = tiny
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 4), jnp.float32)
+    t = jnp.float32(0.4)
+    f0, cache = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
+        model, dp, t, x, fused=False))(dp, t, x)
+    f_d = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
+        model, dp, t, x, c, fused=False))(dp, t, x, cache)
+    # NOT bit-exact like the fused path: the unfused delta recomputes
+    # attention with fused_qkv_attention in a SEPARATE jit program, and
+    # XLA's bf16 rounding for the same math differs across programs
+    # (one-ulp attention output differences cascade through the int8
+    # proj delta). The floor is bf16-attention-rounding-sized — far
+    # below the base's own int8 noise (~0.03, test_delta_tracks_full)
+    # and constant in h, so it is shared across stages and cancels in
+    # the embedded error estimate.
+    assert _rel(f_d, f0) < 5e-3
+
+
+@pytest.mark.slow
+def test_stage_delta_adaptive_solve(tiny):
+    from uspace_tpu.core import delta_field, solvers
+
+    model, params, dp, _, _ = tiny
+    z = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 4), jnp.float32)
+
+    @jax.jit
+    def solve_bf16(params, z):
+        def vf(t, x):
+            tb = jnp.full((x.shape[0],), t, jnp.float32)
+            return model.apply(params, x, tb)[0].astype(jnp.float32)
+
+        return solvers.odeint_adaptive(
+            vf, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
+            controller="i", safety=0.9, return_stats=True)
+
+    @jax.jit
+    def solve_delta(dp, z):
+        fb, fd = delta_field.make_delta_field(model, dp, fused=True)
+        return solvers.odeint_adaptive(
+            None, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
+            controller="i", safety=0.9, return_stats=True,
+            stage_delta=(fb, fd))
+
+    x_bf, s_bf = solve_bf16(params, z)
+    x_d, s_d = solve_delta(dp, z)
+
+    assert _rel(x_d, x_bf) < 0.05
+    # the load-bearing claim: stage-delta int8 does NOT inflate NFE
+    # (plain int8 activation quantization roughly doubles it here)
+    assert int(s_d["nfe"]) <= int(s_bf["nfe"]) * 1.3
+    assert bool(jnp.all(jnp.isfinite(x_d)))

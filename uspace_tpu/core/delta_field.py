@@ -1,0 +1,310 @@
+"""Base-anchored stage-delta int8 velocity field for adaptive solvers
+(U-ViT family).
+
+The problem this solves (VERDICT r3 #1): int8 W8A8 evaluation is ~28%
+faster per NFE than bf16 on the U-ViT-large field, but dynamic per-row
+activation quantization re-rounds independently at every RK stage —
+that noise has a fixed floor, the dopri5 embedded error estimate picks
+it up, and NFE blows up (110 bf16 -> 194 MLP-only int8 -> ~300 full
+W8A8 at the reference's rtol=atol=1e-5). Weight-only int8 is NFE-clean
+but its matmuls run at the bf16 MXU rate, which this chip caps at
+~130-140 TFLOP/s (measured: XLA chained bf16 matmuls at the MLP shape
+reach 107 TFLOP/s and int8 137; the fused Pallas kernels 120-138 bf16 /
+166-210 int8) — no bf16-dot view can reach the 2x-A100 equal-NFE bar.
+
+The mechanism: RK stages within one step are O(h) apart. Stage 2 (the
+first fresh evaluation of a dopri5 step — stage 1 is the FSAL carry)
+runs the field ONCE in full int8 ("base"), emitting each linear
+projection's inputs/outputs as a READ-ONLY cache; stages 3..7
+("delta") reconstruct every projection (qkv, proj, skip, fc1, fc2) as
+
+    out_i = out_base + W_int8 @ quantize(in_i - in_base)
+
+an int8 matmul on the STAGE DELTA, whose row-quantization step is
+proportional to ``amax(delta) ~ h``: per-stage rounding noise vanishes
+as the controller shrinks h, while the base evaluation's rounding
+error is SHARED by every stage through the cache — the embedded error
+weights sum to zero, so it cancels in the error estimate. Everything
+nonlinear (LayerNorm, attention softmax, GELU, residuals, time
+embedding) is recomputed exactly per stage. Measured (tiny model, CPU):
+NFE 44 == bf16's 44 for both the base-anchored and the chained variant;
+the chained U-ViT-large TPU measurement was NFE 98 vs bf16's 110 at
+torchdiffeq defaults — vs NFE 194 for MLP-only plain int8 and ~300 for
+full W8A8.
+
+Anchoring at the base (rather than chaining stage-to-stage) is the
+round-4 redesign: the cache is written ONCE per step and delta
+evaluations emit nothing, which removes the per-stage multi-GB cache
+writes and the base-stream reconstruction walk that made the chained
+delta evaluation 2.5x the cost of a plain int8 evaluation (121 ms vs
+49 ms at batch 50). Wide cache tensors (qkv, pre-GELU hidden) are
+stored int8 + per-row scales and the base CONSUMES the dequantized
+values ("quantize-then-use"), so a zero delta reproduces the base
+bit-for-bit and the cache rounding is ordinary shared base error.
+
+The hot path runs the fused Pallas kernels in
+:mod:`uspace_tpu.ops.delta`; ``fused=False`` keeps a plain-XLA
+composition with identical anchoring semantics as the numerics
+reference (tests pin the two against each other).
+
+This module mirrors :class:`uspace_tpu.models.uvit.UViT`'s forward as
+pure functions over its param tree (uncond/class-free view — the
+dopri5 eval protocol; reference `train_lfm.py:200`). Reference
+counterpart: none (torchdiffeq solves the fp32 field directly,
+`/root/reference/flow_matching.py:38-85`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.layers import LN_EPS, patchify, timestep_embedding, unpatchify
+from ..ops.attention import fused_qkv_attention
+from ..ops.delta import (base_attn_block, base_mlp_block,
+                         delta_attn_block, delta_mlp_block)
+from ..ops.mlp import _gelu_exact
+from ..ops.quant import quantize_colwise, quantize_rowwise
+
+Array = jax.Array
+
+
+def _ln(x: Array, scale: Array, bias: Array) -> Array:
+    """f32-statistics LayerNorm (same math as the fused kernels)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    return (xf - mu) * inv * scale.astype(jnp.float32) \
+        + bias.astype(jnp.float32)
+
+
+def _int8_dot(x_f32: Array, wq: Array, ws: Array) -> Array:
+    """Row-quantize ``x`` and run the int8 MXU matmul; f32 out."""
+    xq, xs = quantize_rowwise(x_f32)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x_f32.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * xs * ws
+
+
+def prepare_delta_params(params: Dict) -> Dict:
+    """Pre-quantize every projection weight (int8 + per-column scales).
+
+    Run ONCE outside the solve (jittable); the result is what the
+    base/delta field functions consume — re-quantizing inside the
+    ``lax.while_loop`` body would not reliably hoist (XLA while-LICM is
+    size-limited at 21-block scale)."""
+    p = params["params"] if "params" in params else params
+    out: Dict[str, Any] = {"_plain": {}}
+
+    def quant(w):
+        wq, ws = quantize_colwise(w)
+        return {"q": wq, "s": ws.reshape(1, -1)}
+
+    for name, blk in p.items():
+        if not isinstance(blk, dict) or "norm1" not in blk:
+            out["_plain"][name] = blk  # embeds / decoder / final norm
+            continue
+        b = {
+            "n1s": blk["norm1"]["scale"], "n1b": blk["norm1"]["bias"],
+            "n2s": blk["norm2"]["scale"], "n2b": blk["norm2"]["bias"],
+            "qkv": quant(blk["attn"]["qkv"]["kernel"]),
+            "proj": quant(blk["attn"]["proj"]["kernel"]),
+            "projb": blk["attn"]["proj"]["bias"],
+            "fc1": quant(blk["mlp"]["fc1"]["kernel"]),
+            "fc1b": blk["mlp"]["fc1"]["bias"],
+            "fc2": quant(blk["mlp"]["fc2"]["kernel"]),
+            "fc2b": blk["mlp"]["fc2"]["bias"],
+        }
+        if "skip_linear" in blk:
+            b["skip"] = quant(blk["skip_linear"]["kernel"])
+            b["skipb"] = blk["skip_linear"]["bias"]
+        out[name] = b
+    return out
+
+
+def _block_names(depth: int):
+    half = depth // 2
+    return ([f"in_blocks_{i}" for i in range(half)] + ["mid_block"]
+            + [f"out_blocks_{i}" for i in range(half)])
+
+
+def _embed(model, plain: Dict, x: Array, t_scalar: Array, dtype) -> Array:
+    """Patch conv + time token + pos embed (exact, recomputed per stage).
+    The strided patch conv == patchify + matmul with the HWIO-flattened
+    kernel (identical feature order)."""
+    k = plain["patch_embed"]["proj"]["kernel"]
+    bconv = plain["patch_embed"]["proj"]["bias"]
+    p = model.patch_size
+    c_in = k.shape[2]
+    tok = patchify(x.astype(dtype), p) @ \
+        k.reshape(p * p * c_in, -1).astype(dtype) + bconv.astype(dtype)
+    b = x.shape[0]
+    t_emb = timestep_embedding(jnp.full((b,), t_scalar, jnp.float32),
+                               model.embed_dim).astype(dtype)
+    h = jnp.concatenate([t_emb[:, None, :], tok], axis=1)
+    return h + plain["pos_embed"].astype(dtype)
+
+
+def _decode_out(model, plain: Dict, h: Array, dtype) -> Array:
+    hf = _ln(h, plain["norm"]["scale"], plain["norm"]["bias"]).astype(dtype)
+    hf = hf @ plain["decoder_pred"]["kernel"].astype(dtype) \
+        + plain["decoder_pred"]["bias"].astype(dtype)
+    hf = hf[:, 1:, :]
+    img = unpatchify(hf, model.in_chans)
+    k = plain["final_layer"]["kernel"].astype(dtype)
+    img = jax.lax.conv_general_dilated(
+        img, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + plain["final_layer"]["bias"].astype(dtype)
+    return img
+
+
+def _skip_base(bp: Dict, h: Array, skip: Array, dtype) -> Array:
+    cin = jnp.concatenate([h, skip], axis=-1)
+    return (_int8_dot(cin.astype(jnp.float32), bp["skip"]["q"],
+                      bp["skip"]["s"])
+            + bp["skipb"].astype(jnp.float32)).astype(dtype)
+
+
+def anchored_vf_base(model, dp: Dict, t: Array, x: Array,
+                     fused: bool = True) -> Tuple[Array, Dict]:
+    """Full int8 W8A8 evaluation emitting the read-only anchored cache.
+
+    Per block the cache holds: ``qkv_q/qkv_s`` (int8 qkv, padded rows),
+    ``a`` (bf16 attention output, padded), ``xm`` (post-attention
+    stream), ``e_q/e_s`` (int8 pre-GELU hidden, flat rows), ``m`` (bf16
+    fc2 output), ``o`` (block output stream — an alias, no extra HBM),
+    and ``xpost`` (post-skip-linear stream, skip blocks only). The
+    ``_h0`` entry aliases the post-embed stream so delta stages skip
+    the base-side embed entirely."""
+    dtype = model.dtype
+    names = _block_names(model.depth)
+    half = model.depth // 2
+    h = _embed(model, dp["_plain"], x, t, dtype)
+    cache: Dict[str, Any] = {"_h0": h}
+    skips = []
+    for bi, name in enumerate(names):
+        bp = dp[name]
+        c: Dict[str, Array] = {}
+        if "skip" in bp:
+            h = _skip_base(bp, h, skips.pop(), dtype)
+            c["xpost"] = h
+        if fused:
+            a_pad, qkv_q, qkv_s = base_attn_block(
+                h, bp["n1s"], bp["n1b"],
+                bp["qkv"]["q"], bp["qkv"]["s"], model.num_heads, LN_EPS)
+            c["qkv_q"], c["qkv_s"], c["a"] = qkv_q, qkv_s, a_pad
+            a = a_pad[:, :h.shape[1]]
+            p = _int8_dot(a.astype(jnp.float32), bp["proj"]["q"],
+                          bp["proj"]["s"]) + bp["projb"].astype(jnp.float32)
+            xm = (h.astype(jnp.float32) + p).astype(dtype)
+            c["xm"] = xm
+            o, e_q, e_s, m = base_mlp_block(
+                xm, bp["n2s"], bp["n2b"],
+                bp["fc1"]["q"], bp["fc1"]["s"], bp["fc1b"],
+                bp["fc2"]["q"], bp["fc2"]["s"], bp["fc2b"], LN_EPS)
+            c["e_q"], c["e_s"], c["m"] = e_q, e_s, m
+            h = o
+        else:
+            u = _ln(h, bp["n1s"], bp["n1b"])
+            qkv = _int8_dot(u, bp["qkv"]["q"], bp["qkv"]["s"])
+            qkv_q, qkv_s = quantize_rowwise(qkv)
+            c["qkv_q"], c["qkv_s"] = qkv_q, qkv_s
+            qkv_d = (qkv_q.astype(jnp.float32) * qkv_s).astype(dtype)
+            a = fused_qkv_attention(qkv_d, model.num_heads)
+            c["a"] = a
+            p = _int8_dot(a.astype(jnp.float32), bp["proj"]["q"],
+                          bp["proj"]["s"]) + bp["projb"].astype(jnp.float32)
+            xm = (h.astype(jnp.float32) + p).astype(dtype)
+            c["xm"] = xm
+            u2 = _ln(xm, bp["n2s"], bp["n2b"])
+            e = _int8_dot(u2, bp["fc1"]["q"], bp["fc1"]["s"]) \
+                + bp["fc1b"].astype(jnp.float32)
+            e_q, e_s = quantize_rowwise(e)
+            c["e_q"], c["e_s"] = e_q, e_s
+            g = _gelu_exact(e_q.astype(jnp.float32) * e_s)
+            m = (_int8_dot(g, bp["fc2"]["q"], bp["fc2"]["s"])
+                 + bp["fc2b"].astype(jnp.float32)).astype(dtype)
+            c["m"] = m
+            h = xm + m
+        c["o"] = h
+        if bi < half:
+            skips.append(h)
+        cache[name] = c
+    v = _decode_out(model, dp["_plain"], h, dtype)
+    return v.astype(jnp.float32), cache
+
+
+def anchored_vf_delta(model, dp: Dict, t: Array, x: Array, cache: Dict,
+                      fused: bool = True) -> Array:
+    """Delta evaluation anchored at the base cache: every projection =
+    cached + int8(stage delta); LN / attention / GELU / residuals
+    recomputed exactly. Emits nothing — the cache is read-only."""
+    dtype = model.dtype
+    names = _block_names(model.depth)
+    half = model.depth // 2
+    h = _embed(model, dp["_plain"], x, t, dtype)
+    hb = cache["_h0"]
+    skips, skips_b = [], []
+    for bi, name in enumerate(names):
+        bp = dp[name]
+        cb = cache[name]
+        if "skip" in bp:
+            cin = jnp.concatenate([h, skips.pop()], axis=-1)
+            cin_b = jnp.concatenate([hb, skips_b.pop()], axis=-1)
+            d = cin.astype(jnp.float32) - cin_b.astype(jnp.float32)
+            h = (cb["xpost"].astype(jnp.float32)
+                 + _int8_dot(d, bp["skip"]["q"], bp["skip"]["s"])
+                 ).astype(dtype)
+            hb = cb["xpost"]
+        if fused:
+            xm = delta_attn_block(
+                h, hb, cb["qkv_q"], cb["qkv_s"], cb["a"], cb["xm"],
+                bp["n1s"], bp["n1b"],
+                bp["qkv"]["q"], bp["qkv"]["s"],
+                bp["proj"]["q"], bp["proj"]["s"],
+                model.num_heads, LN_EPS)
+            o = delta_mlp_block(
+                xm, cb["xm"], cb["e_q"], cb["e_s"], cb["m"],
+                bp["n2s"], bp["n2b"],
+                bp["fc1"]["q"], bp["fc1"]["s"],
+                bp["fc2"]["q"], bp["fc2"]["s"], LN_EPS)
+        else:
+            u = _ln(h, bp["n1s"], bp["n1b"])
+            u_b = _ln(hb, bp["n1s"], bp["n1b"])
+            qkv = cb["qkv_q"].astype(jnp.float32) * cb["qkv_s"] \
+                + _int8_dot(u - u_b, bp["qkv"]["q"], bp["qkv"]["s"])
+            a = fused_qkv_attention(qkv.astype(dtype), model.num_heads)
+            da = a.astype(jnp.float32) - cb["a"].astype(jnp.float32)
+            dp_ = _int8_dot(da, bp["proj"]["q"], bp["proj"]["s"])
+            xm = (h.astype(jnp.float32) - hb.astype(jnp.float32)
+                  + cb["xm"].astype(jnp.float32) + dp_).astype(dtype)
+            u2 = _ln(xm, bp["n2s"], bp["n2b"])
+            u2_b = _ln(cb["xm"], bp["n2s"], bp["n2b"])
+            de = _int8_dot(u2 - u2_b, bp["fc1"]["q"], bp["fc1"]["s"])
+            e_b = cb["e_q"].astype(jnp.float32) * cb["e_s"]
+            dg = _gelu_exact(e_b + de) - _gelu_exact(e_b)
+            dm = _int8_dot(dg, bp["fc2"]["q"], bp["fc2"]["s"])
+            m = cb["m"].astype(jnp.float32) + dm
+            o = xm + m.astype(dtype)
+        h = o
+        hb = cb["o"]
+        if bi < half:
+            skips.append(h)
+            skips_b.append(hb)
+    v = _decode_out(model, dp["_plain"], h, dtype)
+    return v.astype(jnp.float32)
+
+
+def make_delta_field(model, dp: Dict, fused: bool = True):
+    """(vf_base, vf_delta) pair for :func:`solvers.odeint_adaptive`'s
+    ``stage_delta`` option (anchor="base"). ``dp`` must be a traced
+    argument of the enclosing jit (prepare_delta_params output), not a
+    concrete closure — closure capture bakes the tree into the
+    executable payload."""
+    return (lambda t, x: anchored_vf_base(model, dp, t, x, fused=fused),
+            lambda t, x, cache: anchored_vf_delta(model, dp, t, x, cache,
+                                                  fused=fused))

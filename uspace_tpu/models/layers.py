@@ -189,10 +189,19 @@ class Int8Conv(nn.Module):
 def _qmodes(quant) -> tuple:
     """Normalize the ``quant`` view flag: ``True``/"w8a8" = int8 W8A8
     (weights AND activations); "w8" = int8 weights, bf16 activations —
-    the adaptive-solver-safe quantized view (no activation-rounding
-    noise in the field, so the embedded error estimate stays clean).
-    Returns ``(w8a8, w8)`` booleans."""
-    return (quant is True or quant == "w8a8"), quant == "w8"
+    a quantized view with zero activation-rounding noise in the field;
+    "w8a8_mlp" = int8 W8A8 on the MLP kernels ONLY (66% of U-ViT FLOPs,
+    2 of the ~5 quantization points per block), bf16 attention/proj/
+    skip. Measured (TPU, experiments/adaptive_view_sweep.py): even this
+    reduced activation noise inflates dopri5 NFE 110 -> 194 at
+    rtol=atol=1e-5 — per-stage re-rounding has a fixed noise floor the
+    embedded error estimate picks up. The view is kept as the measured
+    ablation point; the adaptive-solver answer is the base-anchored
+    stage-delta field (core/delta_field.py), whose rounding amplitude
+    scales with the step size h.
+    Returns ``(w8a8, w8, a8mlp)`` booleans."""
+    return ((quant is True or quant == "w8a8"), quant == "w8",
+            quant == "w8a8_mlp")
 
 
 def _dense(quant, features: int, *, use_bias: bool = True,
@@ -200,7 +209,7 @@ def _dense(quant, features: int, *, use_bias: bool = True,
     """nn.Dense or its quantized twin, same param tree either way.
     Only the W8A8 view quantizes these [C, C]-sized projections — in the
     w8 view their bf16 copies are small and XLA schedules them well."""
-    w8a8, _ = _qmodes(quant)
+    w8a8, _, _ = _qmodes(quant)
     cls = Int8Dense if w8a8 else nn.Dense
     return cls(features, use_bias=use_bias, dtype=dtype,
                kernel_init=dense_init, name=name)
@@ -223,13 +232,13 @@ class Mlp(nn.Module):
             # the same tree paths nn.Dense would create.
             from ..ops.mlp import fused_mlp
 
-            w8a8, _ = _qmodes(self.quant)
+            w8a8, w8, a8mlp = _qmodes(self.quant)
             w1, b1 = _DenseKernel(self.hidden_dim, use_bias=True,
                                   name="fc1")(x.shape[-1])
             w2, b2 = _DenseKernel(out_dim, use_bias=True,
                                   name="fc2")(self.hidden_dim)
             return fused_mlp(x.astype(self.dtype), w1, b1, w2, b2,
-                             quant=True if w8a8 else "w8")
+                             quant="w8" if w8 else True)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=dense_init, name="fc1")(x)
         x = gelu_exact(x)
@@ -259,7 +268,7 @@ class Attention(nn.Module):
         capture_probs: bool = False,
     ):
         b, l, c = x.shape
-        w8a8, _ = _qmodes(self.quant)
+        w8a8, _, _ = _qmodes(self.quant)
         h = self.num_heads
         d = c // h
         scale = self.qk_scale or d**-0.5
@@ -353,7 +362,7 @@ class Block(nn.Module):
         capture_probs: bool = False,
     ):
         c = x.shape[-1]
-        w8a8, w8 = _qmodes(self.quant)
+        w8a8, w8, a8mlp = _qmodes(self.quant)
         if self.skip:
             x = _dense(self.quant, c, dtype=self.dtype,
                        name="skip_linear")(
@@ -426,7 +435,7 @@ class Block(nn.Module):
                                          eps=LN_EPS)
             x = x + (a @ wproj.astype(self.dtype)
                      + bproj.astype(self.dtype)).astype(x.dtype)
-            if w8:
+            if w8 or a8mlp:
                 # w8 view: bf16 attention/proj as above, plus the
                 # weight-only-int8 fused MLP sub-block — the bf16 twin of
                 # that kernel cannot run at the bench shape (16.8 MB of
@@ -434,11 +443,15 @@ class Block(nn.Module):
                 # why the plain bf16 view falls back to the unfused XLA
                 # MLP below. Activations stay bf16: the field is a fixed
                 # smooth perturbation, safe under adaptive step control.
+                # w8a8_mlp view: same routing but the MLP runs full int8
+                # W8A8 (the only quantization points in the field) —
+                # measured ablation: dopri5 NFE still 194 (see _qmodes).
                 ln2_s, ln2_b = _LNParams(name="norm2")(c)
                 w1, b1, w2, b2 = _MlpParams(
                     int(c * self.mlp_ratio), name="mlp")(c)
                 return fused_mlp_block_q(x, ln2_s, ln2_b, w1, b1, w2, b2,
-                                         eps=LN_EPS, quant="w8")
+                                         eps=LN_EPS,
+                                         quant="w8" if w8 else True)
             # bf16: only LN1 needs folding (it feeds a pallas kernel and
             # cannot fuse); LN2 feeds the XLA MLP. The bf16 LN-fused MLP
             # kernel (fused_mlp_block_q(quant=False)) is runnable at the

@@ -72,9 +72,11 @@ class UViT(nn.Module):
     attn_impl: str = "auto"
     # quantized sampling views (ops/quant.py): True/"w8a8" = int8 W8A8
     # on the block matmuls (mlp, qkv, proj, skip_linear); "w8" = int8
-    # weights with bf16 activations (adaptive-solver-safe — no
-    # activation-rounding noise in the field). Embeds/decoder/norms stay
-    # bf16/f32 in every view.
+    # weights with bf16 activations (zero activation-rounding noise);
+    # "w8a8_mlp" = int8 W8A8 on the MLP kernels only, bf16 elsewhere
+    # (measured ablation: still inflates dopri5 NFE 110 -> 194; the
+    # adaptive-solver quantization is core/delta_field.py instead).
+    # Embeds/decoder/norms stay bf16/f32 in every view.
     quant: Any = False
 
     @property

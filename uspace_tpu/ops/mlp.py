@@ -157,14 +157,17 @@ def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     scales); activations are row-quantized on the VPU; both matmuls run
     int8 x int8 -> int32 on the MXU.
 
-    The hidden tile is quantized PER COLUMN STRIP in the fc1 epilogue
-    (scale = per-row amax of that [rows, hidden/_COL_SLICES] strip):
+    The hidden tile is quantized PER COLUMN STRIP in the fc1 epilogue:
     the f32 GELU output is still in registers, so the int8 copy is the
     only hidden tensor that ever materializes (vs the earlier per-full-
     row scheme, which stored a bf16 hidden tile and re-read it f32 for a
-    second quantization pass). Strip scales are finer-grained than a
-    whole-row scale, so precision only improves; fc2 accumulates per
-    strip in f32 (int32 strip dot x strip scale)."""
+    second quantization pass). Hidden quantization is ASYMMETRIC
+    (per-row-per-strip affine, ``h ~= s*q + zp``): the GELU output is
+    one-sided (min >= -0.17 in pre-activation-scale units, max >> 0), so
+    a symmetric grid wastes nearly half its range — affine is ~2x finer
+    at the same int8 width. The zero-point term folds into the epilogue
+    as ``zp_row * colsum(w2q)`` (colsum = per-strip int32 column sums of
+    the int8 weights, one cheap VPU reduction per strip)."""
     @pl.when(pl.program_id(0) == 0)
     def _load():
         cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
@@ -179,8 +182,8 @@ def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     xq = jnp.round(x * (127.0 / amax)).astype(jnp.int8)
     xs = amax * (1.0 / 127.0)  # [rows, 1]
     hs = hidden // col_slices
-    # fc1 + GELU + per-strip quantization, fused per column strip
-    hscales = []
+    # fc1 + GELU + per-strip affine quantization, fused per column strip
+    hscales, hzps = [], []
     for j in range(col_slices):
         part = jax.lax.dot_general(
             xq, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
@@ -190,18 +193,24 @@ def _mlp_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                * s1_ref[0:1, j * hs:(j + 1) * hs]
                + b1_ref[0:1, j * hs:(j + 1) * hs])
         g = _gelu_exact(deq)
-        smax = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True),
-                           1e-8)
+        gmax = jnp.max(g, axis=-1, keepdims=True)
+        gmin = jnp.min(g, axis=-1, keepdims=True)
+        scale = jnp.maximum(gmax - gmin, 1e-8) * (1.0 / 254.0)
+        zp = (gmax + gmin) * 0.5
         h_v[:, j * hs:(j + 1) * hs] = jnp.round(
-            g * (127.0 / smax)).astype(jnp.int8)
-        hscales.append(smax * (1.0 / 127.0))
+            (g - zp) / scale).astype(jnp.int8)
+        hscales.append(scale)
+        hzps.append(zp)
     acc = jnp.zeros((xq.shape[0], o_ref.shape[-1]), jnp.float32)
     for j in range(col_slices):
+        w2s = w2_v[j * hs:(j + 1) * hs, :]
         d = jax.lax.dot_general(
-            h_v[:, j * hs:(j + 1) * hs], w2_v[j * hs:(j + 1) * hs, :],
+            h_v[:, j * hs:(j + 1) * hs], w2s,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
         )
-        acc += d.astype(jnp.float32) * hscales[j]
+        colsum = jnp.sum(w2s.astype(jnp.int32), axis=0, keepdims=True)
+        acc += (d.astype(jnp.float32) * hscales[j]
+                + hzps[j] * colsum.astype(jnp.float32))
     out = acc * s2_ref[0:1, :] + b2_ref[0:1, :]
     o_ref[:] = out.astype(o_ref.dtype)
 
@@ -211,9 +220,10 @@ def _mlp_kernel_int8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
                            sem, *, hidden: int, eps: float, col_slices: int):
     """Whole MLP sub-block, int8: ``x + fc2(gelu(fc1(LN(x))))``. The LN
     output, hidden tensor and fc2 input never touch HBM. Hidden
-    quantization is per column strip in the fc1 epilogue (see
-    :func:`_mlp_kernel_int8` — finer scales, no bf16 hidden tile, no
-    second quantization pass)."""
+    quantization is per-column-strip ASYMMETRIC affine in the fc1
+    epilogue (see :func:`_mlp_kernel_int8` — the one-sided GELU output
+    gets a ~2x finer grid; zero-point folds into the epilogue via
+    per-strip colsums of the int8 weights)."""
     @pl.when(pl.program_id(0) == 0)
     def _load():
         cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
@@ -235,7 +245,7 @@ def _mlp_kernel_int8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
     xq = jnp.round(xln * (127.0 / amax)).astype(jnp.int8)
     xs = amax * (1.0 / 127.0)
     hs = hidden // col_slices
-    hscales = []
+    hscales, hzps = [], []
     for j in range(col_slices):
         part = jax.lax.dot_general(
             xq, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
@@ -245,18 +255,24 @@ def _mlp_kernel_int8_lnres(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
                * s1_ref[0:1, j * hs:(j + 1) * hs]
                + b1_ref[0:1, j * hs:(j + 1) * hs])
         g = _gelu_exact(deq)
-        smax = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True),
-                           1e-8)
+        gmax = jnp.max(g, axis=-1, keepdims=True)
+        gmin = jnp.min(g, axis=-1, keepdims=True)
+        scale = jnp.maximum(gmax - gmin, 1e-8) * (1.0 / 254.0)
+        zp = (gmax + gmin) * 0.5
         h_v[:, j * hs:(j + 1) * hs] = jnp.round(
-            g * (127.0 / smax)).astype(jnp.int8)
-        hscales.append(smax * (1.0 / 127.0))
+            (g - zp) / scale).astype(jnp.int8)
+        hscales.append(scale)
+        hzps.append(zp)
     acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
     for j in range(col_slices):
+        w2s = w2_v[j * hs:(j + 1) * hs, :]
         d = jax.lax.dot_general(
-            h_v[:, j * hs:(j + 1) * hs], w2_v[j * hs:(j + 1) * hs, :],
+            h_v[:, j * hs:(j + 1) * hs], w2s,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
         )
-        acc += d.astype(jnp.float32) * hscales[j]
+        colsum = jnp.sum(w2s.astype(jnp.int32), axis=0, keepdims=True)
+        acc += (d.astype(jnp.float32) * hscales[j]
+                + hzps[j] * colsum.astype(jnp.float32))
     out = acc * s2_ref[0:1, :] + b2_ref[0:1, :]
     o_ref[:] = x + out.astype(o_ref.dtype)
 
