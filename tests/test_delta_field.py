@@ -146,3 +146,34 @@ def test_stage_delta_adaptive_solve(tiny):
     # (plain int8 activation quantization roughly doubles it here)
     assert int(s_d["nfe"]) <= int(s_bf["nfe"]) * 1.3
     assert bool(jnp.all(jnp.isfinite(x_d)))
+
+
+@pytest.mark.slow
+def test_stage_unroll_matches_scan(tiny):
+    """The unrolled stage recursion (solvers.odeint_adaptive
+    stage_unroll=True, the TPU default — the lax.scan variant pays
+    ~120 ms/stage of cache copy/relayout in the compiled while_loop on
+    the U-ViT-large solve) must reproduce the scan variant: same step
+    sequence (identical NFE) and the same solution up to f32
+    summation-order rounding in the stage contraction."""
+    from uspace_tpu.core import delta_field, solvers
+
+    model, params, dp, _, _ = tiny
+    z = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 4), jnp.float32)
+
+    def solve(unroll):
+        @jax.jit
+        def go(dp, z):
+            fb, fd = delta_field.make_delta_field(model, dp, fused=True)
+            return solvers.odeint_adaptive(
+                None, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
+                controller="i", safety=0.9, return_stats=True,
+                stage_delta=(fb, fd), stage_unroll=unroll)
+
+        return go(dp, z)
+
+    x_u, s_u = solve(True)
+    x_s, s_s = solve(False)
+    assert int(s_u["nfe"]) == int(s_s["nfe"])
+    assert int(s_u["accepted"]) == int(s_s["accepted"])
+    assert _rel(x_u, x_s) < 1e-4

@@ -215,6 +215,7 @@ def odeint_adaptive(
     icoeff: float = 0.7,
     return_stats: bool = False,
     stage_delta: Optional[Tuple[Callable, Callable]] = None,
+    stage_unroll: bool = True,
 ):
     """Adaptive embedded-RK integration, entirely on-device via
     ``lax.while_loop`` with a static ``max_steps`` cap.
@@ -275,10 +276,10 @@ def odeint_adaptive(
     # which cuts XLA compile time from tens of minutes to minutes at the
     # bench shape. A is lower-triangular; un-filled k-slots are zeros so
     # the dense row contraction is exact.
-    A = np.zeros((n_stage, n_stage), np.float32)
+    A_np = np.zeros((n_stage, n_stage), np.float32)
     for i in range(1, n_stage):
-        A[i, : len(tab.a[i])] = tab.a[i]
-    A = jnp.asarray(A)
+        A_np[i, : len(tab.a[i])] = tab.a[i]
+    A = jnp.asarray(A_np)
     c_nodes = jnp.asarray(tab.c, jnp.float32)
     b_high = jnp.asarray(tab.b, jnp.float32)
     b_err = jnp.asarray(tab.b_err, jnp.float32)
@@ -322,16 +323,40 @@ def odeint_adaptive(
             x2 = jax.tree.map(lambda a, b: a + hs * A[1, 0] * b, x,
                               jax.tree.map(lambda kk: kk[0], ks0))
             k2, cache = vf_base(t + c_nodes[1] * hs, x2)
-            ks1 = jax.tree.map(lambda kk, kn: kk.at[1].set(kn), ks0, k2)
+            if stage_unroll:
+                # stages 3..s UNROLLED (list of k's, static tableau
+                # coefficients). The lax.scan variant makes the multi-GB
+                # cache a scan operand and the stacked-ks carry a
+                # dynamic-update-slice chain; measured on the U-ViT-large
+                # TPU solve that cost ~120 ms of copy/relayout PER DELTA
+                # STAGE (~200 ms/stage in-solve vs 78 ms for the same
+                # delta evaluation isolated). vf_delta is a jit subcall,
+                # so the field body is still traced/lowered once and
+                # shared across the 5 call sites — the HLO stays small.
+                k_list = [jax.tree.map(lambda kk: kk[0], ks0), k2]
+                for i in range(2, n_stage):
+                    xi = x
+                    for j in range(i):
+                        aij = float(A_np[i, j])
+                        if aij != 0.0:
+                            xi = jax.tree.map(
+                                lambda a, b, w=aij: a + hs * w * b,
+                                xi, k_list[j])
+                    ki = vf_delta(t + c_nodes[i] * hs, xi, cache)
+                    k_list.append(ki)
+                ks = jax.tree.map(lambda *kk: jnp.stack(kk), *k_list)
+            else:
+                ks1 = jax.tree.map(lambda kk, kn: kk.at[1].set(kn), ks0,
+                                   k2)
 
-            def stage_b(ks, i):
-                xi = jax.tree.map(lambda a, b: a + hs * b, x,
-                                  _contract(A[i], ks))
-                ki = vf_delta(t + c_nodes[i] * hs, xi, cache)
-                return jax.tree.map(lambda kk, kn: kk.at[i].set(kn),
-                                    ks, ki), None
+                def stage_b(ks, i):
+                    xi = jax.tree.map(lambda a, b: a + hs * b, x,
+                                      _contract(A[i], ks))
+                    ki = vf_delta(t + c_nodes[i] * hs, xi, cache)
+                    return jax.tree.map(lambda kk, kn: kk.at[i].set(kn),
+                                        ks, ki), None
 
-            ks, _ = lax.scan(stage_b, ks1, jnp.arange(2, n_stage))
+                ks, _ = lax.scan(stage_b, ks1, jnp.arange(2, n_stage))
         else:
             def stage(ks, i):
                 xi = jax.tree.map(lambda a, b: a + hs * b, x,
