@@ -130,6 +130,10 @@ def run(config, workdir: str) -> None:
             dirs = np.load(_directions_path(config, mode))
             grid_all = jnp.asarray(dirs["directions"])  # [T, A|K, ...]
             grid_t0 = float(dirs["t_grid"][0]) if "t_grid" in dirs else 0.0
+            # grid spacing comes from the read artifact, not the solver
+            grid_dt = (float(dirs["t_grid"][1] - dirs["t_grid"][0])
+                       if "t_grid" in dirs and len(dirs["t_grid"]) > 1
+                       else None)
             ith = d.ith_attr if mode == "attr" else d.ith_component
             delta_grid = select_direction(grid_all, ith)
             n = min(d.n_samples, d.mini_batch_size)
@@ -137,7 +141,7 @@ def run(config, workdir: str) -> None:
                         and d.t_edit.startswith("every_"))
             sweep = session.write_sweep(
                 delta_grid, list(d.write_scales), n,
-                grid_t0=grid_t0,
+                grid_dt=grid_dt, grid_t0=grid_t0,
                 loc=d.get("edit_loc") or "mid",
                 t_edit=1.0 if is_every else float(d.t_edit),
                 gate_mode="every" if is_every else "le",

@@ -130,6 +130,13 @@ def run(config, workdir: str) -> dict:
     dirs = np.load(attr_npz)
     grid_all = jnp.asarray(dirs["directions"])  # [T, A, ...]
     grid_t0 = float(dirs["t_grid"][0])
+    # the delta grid's time spacing is a property of the READ artifact,
+    # not of whatever solver the write runs under — pass it explicitly
+    # everywhere (write_sweep's fallback infers it from the session's
+    # solver_fix_step, which is wrong for adaptive sessions and for
+    # fixed sessions at a different step than the read)
+    grid_dt = (float(dirs["t_grid"][1] - dirs["t_grid"][0])
+               if len(dirs["t_grid"]) > 1 else 0.01)
 
     # z-space proxy directions from the read data itself
     z_deltas = np.asarray(latentz_delta(jnp.asarray(data["latent"]),
@@ -149,8 +156,8 @@ def run(config, workdir: str) -> dict:
     for a in range(num_attrs):
         sweep = session.write_sweep(
             select_direction(grid_all, a), scales, n,
-            grid_t0=grid_t0, loc=edit_loc, t_edit=float(d.t_edit),
-            rng=rng, z_shape=z_hwc,
+            grid_dt=grid_dt, grid_t0=grid_t0, loc=edit_loc,
+            t_edit=float(d.t_edit), rng=rng, z_shape=z_hwc,
         )
         sweep = np.asarray(sweep, np.float32)  # [S, B, ...]
         curve, stds = projection_curve(sweep, z_deltas[a])
@@ -181,11 +188,20 @@ def run(config, workdir: str) -> dict:
             # response at the sweep ends — the edit faithfully tracks it
             # (gt_agrees), but no edit can be scale-monotone where the
             # model itself is not. Judge the edit only on scale pairs
-            # where the ground-truth projection moves monotonically;
-            # this tests the editing machinery, not the toy model.
+            # where the ground-truth projection moves monotonically AND
+            # by a non-negligible amount (>= 2% of the gt response
+            # range): in the saturated tail gt moves of <1.5% of range
+            # are noise and carry no monotonicity signal either way
+            # (measured on the trained UNet run — every edit "violation"
+            # sat on such a pair while the edit tracked gt faithfully,
+            # docs/editing_e2e_unet.md). Tests the editing machinery,
+            # not the toy model.
+            gt_range = max(gt_oriented) - min(gt_oriented)
             gt_mono_pair = [
                 (gt_oriented[i + 1] - gt_oriented[i])
                 * (scales[i + 1] - scales[i]) > 0
+                and abs(gt_oriented[i + 1] - gt_oriented[i])
+                >= 0.02 * gt_range
                 for i in range(len(scales) - 1)
             ]
             rec["monotone_fraction_supported"] = monotone_fraction(
@@ -234,8 +250,8 @@ def run(config, workdir: str) -> dict:
                            "solver_fix_step": fine_step})
         ref_sweep = ref_session.write_sweep(
             select_direction(grid_all, 0), end_scales, n,
-            grid_t0=grid_t0, loc=edit_loc, t_edit=0.5, rng=rng,
-            z_shape=z_hwc)
+            grid_dt=grid_dt, grid_t0=grid_t0, loc=edit_loc, t_edit=0.5,
+            rng=rng, z_shape=z_hwc)
         ref_curve, _ = projection_curve(np.asarray(ref_sweep, np.float32),
                                         z_deltas[0])
         ref_resp = ref_curve[-1] - ref_curve[0]
@@ -251,8 +267,8 @@ def run(config, workdir: str) -> dict:
                                 solver_kwargs=sk)
             sweep2 = s2.write_sweep(
                 select_direction(grid_all, 0), end_scales, n,
-                grid_t0=grid_t0, loc=edit_loc, t_edit=0.5, rng=rng,
-                z_shape=z_hwc)
+                grid_dt=grid_dt, grid_t0=grid_t0, loc=edit_loc,
+                t_edit=0.5, rng=rng, z_shape=z_hwc)
             curve2, _ = projection_curve(np.asarray(sweep2, np.float32),
                                          z_deltas[0])
             resp2 = curve2[-1] - curve2[0]

@@ -185,7 +185,14 @@ class DissectSession:
         """Decode the same noise under each write scale ->
         [S, B, ...latents] (reference sample_for_hspace_vis,
         utils_vis.py:138-257). One compiled program reused across scales
-        (scale is a traced scalar)."""
+        (scale is a traced scalar).
+
+        ``grid_dt`` is the DELTA GRID's time spacing (from the read
+        artifact's ``t_grid``) — always pass it when the grid came from
+        a different session. The fallback (this session's
+        solver_fix_step) is only correct when the same fixed-step
+        session produced the read; for adaptive sessions it silently
+        remaps the forcing onto the wrong times."""
         rng = jax.random.PRNGKey(0) if rng is None else rng
         if fixed_z is not None:
             z = jnp.asarray(fixed_z)[:n_samples]
