@@ -148,6 +148,67 @@ def test_stage_delta_adaptive_solve(tiny):
     assert bool(jnp.all(jnp.isfinite(x_d)))
 
 
+def test_stage_unroll_matches_scan_fast(tiny):
+    """Cheap default-suite twin of the slow 1e-5 test below (advisor
+    r4): the unrolled and scan stage recursions must produce the same
+    step sequence and (up to f32 summation order) the same solution —
+    pinned at rtol=1e-3, a handful of dopri5 steps."""
+    from uspace_tpu.core import delta_field, solvers
+
+    model, _, dp, _, _ = tiny
+    z = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 4), jnp.float32)
+
+    def solve(unroll):
+        @jax.jit
+        def go(dp, z):
+            fb, fd = delta_field.make_delta_field(model, dp, fused=True)
+            return solvers.odeint_adaptive(
+                None, z, 0.0, 1.0, method="dopri5", rtol=1e-3, atol=1e-3,
+                controller="i", safety=0.9, return_stats=True,
+                stage_delta=(fb, fd), stage_unroll=unroll)
+
+        return go(dp, z)
+
+    x_u, s_u = solve(True)
+    x_s, s_s = solve(False)
+    assert int(s_u["nfe"]) == int(s_s["nfe"])
+    assert int(s_u["accepted"]) == int(s_s["accepted"])
+    assert _rel(x_u, x_s) < 1e-4
+
+
+def test_stage_delta_host_driver_matches_device(tiny):
+    """The host-stepped stage-delta solve (odeint_adaptive_host
+    program='stages', stage_delta=...) — bench.py's tunnel fallback —
+    must walk the same step sequence as the compiled while_loop and
+    land on the same solution up to f32 summation order."""
+    from uspace_tpu.core import delta_field, solvers
+
+    model, _, dp, _, _ = tiny
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 4), jnp.float32)
+
+    @jax.jit
+    def dev(dp, z):
+        fb, fd = delta_field.make_delta_field(model, dp, fused=True)
+        return solvers.odeint_adaptive(
+            None, z, 0.0, 1.0, method="dopri5", rtol=1e-3, atol=1e-3,
+            controller="i", safety=0.9, return_stats=True,
+            stage_delta=(fb, fd))
+
+    x_dev, s_dev = dev(dp, z)
+
+    fb_h = lambda t, x, p: delta_field.anchored_vf_base(model, p, t, x,
+                                                        fused=True)
+    fd_h = lambda t, x, c, p: delta_field.anchored_vf_delta(
+        model, p, t, x, c, fused=True)
+    x_h, s_h = solvers.odeint_adaptive_host(
+        None, z, 0.0, 1.0, method="dopri5", rtol=1e-3, atol=1e-3,
+        controller="i", safety=0.9, return_stats=True, program="stages",
+        vf_params=dp, stage_delta=(fb_h, fd_h))
+    assert int(s_h["nfe"]) == int(s_dev["nfe"])
+    assert int(s_h["accepted"]) == int(s_dev["accepted"])
+    assert _rel(x_h, x_dev) < 1e-4
+
+
 @pytest.mark.slow
 def test_stage_unroll_matches_scan(tiny):
     """The unrolled stage recursion (solvers.odeint_adaptive

@@ -56,14 +56,33 @@ def _normalized(v: np.ndarray) -> np.ndarray:
     return v / max(np.linalg.norm(v), 1e-12)
 
 
+def projection_matrix(sweep: np.ndarray, direction: np.ndarray) -> np.ndarray:
+    """[S, B] per-sample projections of [S, B, ...] latents onto a unit
+    direction."""
+    u = _normalized(np.asarray(direction, np.float64).ravel())
+    flat = np.asarray(sweep, np.float64).reshape(sweep.shape[0], sweep.shape[1], -1)
+    return flat @ u
+
+
 def projection_curve(sweep: np.ndarray, direction: np.ndarray):
     """Per-scale mean projection of [S, B, ...] latents onto a unit
     direction, plus the per-sample std at each scale."""
-    u = _normalized(np.asarray(direction, np.float64).ravel())
-    flat = np.asarray(sweep, np.float64).reshape(sweep.shape[0], sweep.shape[1], -1)
-    proj = flat @ u  # [S, B]
+    proj = projection_matrix(sweep, direction)
     return ([float(x) for x in proj.mean(axis=1)],
             [float(x) for x in proj.std(axis=1)])
+
+
+def paired_move_sems(proj: np.ndarray):
+    """Standard error of each adjacent-scale move of a projection curve.
+
+    The sweep decodes the SAME z batch at every scale, so adjacent-scale
+    moves are paired: the noise on ``mean(proj[i+1] - proj[i])`` is the
+    paired-difference SEM, not the (much larger) cross-sample spread of
+    the projections themselves. Used to decide which ground-truth moves
+    are statistically real (supported-pair masking below)."""
+    b = proj.shape[1]
+    d = proj[1:] - proj[:-1]  # [S-1, B] paired moves
+    return [float(x) for x in d.std(axis=1, ddof=1) / np.sqrt(b)]
 
 
 def monotone_fraction(curve, scales, mask=None) -> float:
@@ -189,23 +208,28 @@ def run(config, workdir: str) -> dict:
             # (gt_agrees), but no edit can be scale-monotone where the
             # model itself is not. Judge the edit only on scale pairs
             # where the ground-truth projection moves monotonically AND
-            # by a non-negligible amount (>= 2% of the gt response
-            # range): in the saturated tail gt moves of <1.5% of range
-            # are noise and carry no monotonicity signal either way
-            # (measured on the trained UNet run — every edit "violation"
-            # sat on such a pair while the edit tracked gt faithfully,
-            # docs/editing_e2e_unet.md). Tests the editing machinery,
-            # not the toy model.
-            gt_range = max(gt_oriented) - min(gt_oriented)
+            # by a statistically real amount: the sweep decodes the same
+            # z batch at every scale, so each gt move has a measured
+            # paired-difference SEM — a move below 3 SEM is noise and
+            # carries no monotonicity signal either way. This tests the
+            # editing machinery, not the toy model. A supported fraction
+            # is only meaningful with >= 2 supported pairs; with fewer,
+            # fall back to the raw fraction instead of reporting a
+            # vacuous 1.0 (advisor r4).
+            gt_proj = projection_matrix(sweep, gt_patterns[a])
+            gt_sems = paired_move_sems(gt_proj * orientation)
             gt_mono_pair = [
                 (gt_oriented[i + 1] - gt_oriented[i])
                 * (scales[i + 1] - scales[i]) > 0
                 and abs(gt_oriented[i + 1] - gt_oriented[i])
-                >= 0.02 * gt_range
+                >= 3.0 * gt_sems[i]
                 for i in range(len(scales) - 1)
             ]
-            rec["monotone_fraction_supported"] = monotone_fraction(
-                oriented, scales, mask=gt_mono_pair)
+            rec["supported_pairs"] = int(sum(gt_mono_pair))
+            rec["monotone_fraction_supported"] = (
+                monotone_fraction(oriented, scales, mask=gt_mono_pair)
+                if rec["supported_pairs"] >= 2
+                else monotone_fraction(oriented, scales))
         results.append(rec)
 
         flat = sweep.reshape(-1, *sweep.shape[2:])

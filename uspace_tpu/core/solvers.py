@@ -263,6 +263,17 @@ def odeint_adaptive(
     give identical NFE (44 == the bf16 field's 44, zero rejections);
     anchoring is the one that needs no per-stage cache emission.
     ``vf`` is ignored when ``stage_delta`` is given.
+
+    ``stage_unroll`` (stage-delta solves only) selects how stages 3..s
+    run inside the RK step: ``True`` (default) unrolls them as a
+    static Python loop — the cache stays a loop-invariant closure
+    constant and the stacked-k dynamic-update-slice chain disappears;
+    ``False`` keeps the ``lax.scan`` formulation, which makes the
+    multi-GB cache a scan operand (measured ~120 ms/stage of
+    copy/relayout on the U-ViT-large TPU solve). The two produce the
+    same step sequence (identical NFE); solutions differ only by f32
+    summation order in the stage contraction
+    (tests/test_delta_field.py pins both, fast variant at rtol=1e-3).
     """
     tab = _TABLEAUS[method]
     n_stage = len(tab.c)
@@ -525,6 +536,7 @@ def odeint_adaptive_host(
     program: str = "fused",
     vf_params: Any = None,
     expected_steps: Optional[int] = None,
+    stage_delta: Optional[Tuple[Callable, Callable]] = None,
 ):
     """Host-driven twin of :func:`odeint_adaptive`: the embedded RK step
     (stage scan + error ratio) is ONE small jitted program invoked from a
@@ -562,6 +574,15 @@ def odeint_adaptive_host(
     baked into the executable payload, and a multi-GB parameter tree in
     the program body is exactly what fragile remote-compile services
     choke on (pass-as-argument programs of the same model compile fine).
+
+    ``stage_delta=(vf_base, vf_delta)``: the base-anchored stage-delta
+    field (see :func:`odeint_adaptive`), host-stepped —
+    ``program="stages"`` only. Signatures take params explicitly:
+    ``vf_base(t, x, p) -> (f, cache)`` and
+    ``vf_delta(t, x, cache, p) -> f``; within one RK step stage 2 runs
+    the base (its cache lives as an ordinary device value between the
+    two dispatches) and stages 3..s the delta. ``vf`` is ignored. The
+    step sequence matches the device loop's stage-delta path.
     """
     tab = _TABLEAUS[method]
     n_stage = len(tab.c)
@@ -576,8 +597,17 @@ def odeint_adaptive_host(
 
     # normalize the field to vf(t, x, p) with p an explicit ARGUMENT of
     # every compiled program (see ``vf_params`` in the docstring)
-    vfj = (jax.jit(lambda t, x, p: vf(t, x)) if vf_params is None
-           else jax.jit(vf))
+    base_j = delta_j = None
+    if stage_delta is not None:
+        if program != "stages":
+            raise NotImplementedError(
+                "host stage_delta requires program='stages'")
+        base_j = jax.jit(stage_delta[0])   # (t, x, p) -> (f, cache)
+        delta_j = jax.jit(stage_delta[1])  # (t, x, cache, p) -> f
+        vfj = jax.jit(lambda t, x, p: base_j(t, x, p)[0])  # cache DCE'd
+    else:
+        vfj = (jax.jit(lambda t, x, p: vf(t, x)) if vf_params is None
+               else jax.jit(vf))
 
     def _contract(w, ks):
         return jax.tree.map(
@@ -666,10 +696,17 @@ def odeint_adaptive_host(
             """One embedded step; ONLY jit(vf) contains the field."""
             hs = np.float32(h * direction)
             ks = [f_first] * n_stage  # zero tableau weights mask j >= i
+            cache = None
             for i in range(1, n_stage):
                 xi = lin_comb(x, hs, A[i], tuple(ks))
-                ks[i] = vfj(np.float32(t + tab.c[i] * h * direction), xi,
-                            vf_params)
+                ti = np.float32(t + tab.c[i] * h * direction)
+                if stage_delta is None:
+                    ks[i] = vfj(ti, xi, vf_params)
+                elif i == 1:
+                    # stage 2: fresh base evaluation anchors the cache
+                    ks[i], cache = base_j(ti, xi, vf_params)
+                else:
+                    ks[i] = delta_j(ti, xi, cache, vf_params)
             x_new, ratio = finish(x, hs, tuple(ks))
             f_last = (ks[-1] if tab.fsal
                       else vfj(np.float32(t + h * direction), x_new,

@@ -191,14 +191,23 @@ class DissectSession:
         artifact's ``t_grid``) — always pass it when the grid came from
         a different session. The fallback (this session's
         solver_fix_step) is only correct when the same fixed-step
-        session produced the read; for adaptive sessions it silently
-        remaps the forcing onto the wrong times."""
+        session produced the read; a pure-adaptive session has NO
+        sensible default — it raises rather than silently remapping the
+        forcing onto the wrong times (the r4 editing_e2e FAIL was
+        exactly this: the 0.01 default compressed a 0.02-spaced grid to
+        delta(2t); experiments/adaptive_write_bug_repro.py)."""
         rng = jax.random.PRNGKey(0) if rng is None else rng
         if fixed_z is not None:
             z = jnp.asarray(fixed_z)[:n_samples]
         else:
             z = jax.random.normal(rng, (n_samples, *z_shape))
-        gd = grid_dt or self.solver_kwargs.get("solver_fix_step", 0.01)
+        gd = grid_dt or self.solver_kwargs.get("solver_fix_step")
+        if gd is None:
+            raise ValueError(
+                "write_sweep needs grid_dt: this session has no "
+                "solver_fix_step to infer it from (adaptive solver), and "
+                "a wrong spacing silently rescales the edit forcing in "
+                "time. Pass the read artifact's t_grid spacing.")
         edit0 = USpaceEdit(
             delta_grid=jnp.asarray(delta_grid), scale=jnp.float32(0.0),
             grid_dt=gd, grid_t0=grid_t0, t_edit=t_edit,
