@@ -269,18 +269,50 @@ def bench_dopri5_delta(params, rng):
             stage_delta=(fb, fd))
         return x1.mean(), s["nfe"], s["steps"] - s["accepted"]
 
-    out = run(dp, rng)
-    _ = float(out[0])  # compile + warm
-    t0 = time.perf_counter()
-    m, nfe, rej = run(dp, jax.random.fold_in(rng, 1))
-    _ = float(m)
-    dt = time.perf_counter() - t0
+    path = "compiled-while-loop"
+    try:
+        out = run(dp, rng)
+        _ = float(out[0])  # compile + warm
+        t0 = time.perf_counter()
+        m, nfe, rej = run(dp, jax.random.fold_in(rng, 1))
+        _ = float(m)
+        dt = time.perf_counter() - t0
+    except Exception:
+        # the compile service rejected the while_loop program — fall
+        # back to the host-stepped stage-delta twin (identical step
+        # sequence, tests/test_delta_field.py) so the NFE/quality datum
+        # still lands (advisor r4)
+        _wait_backend()
+        path = "host-stages-fallback"
+
+        def host(rng):
+            z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
+            fb = lambda t, x, p: delta_field.anchored_vf_base(
+                model, p, t, x)
+            fd = lambda t, x, c, p: delta_field.anchored_vf_delta(
+                model, p, t, x, c)
+            x1, s = solvers.odeint_adaptive_host(
+                None, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
+                controller="i", safety=0.9, return_stats=True,
+                program="stages", vf_params=dp, stage_delta=(fb, fd))
+            return float(x1.mean()), s
+
+        _, s = host(rng)  # compile + warm
+        t0 = time.perf_counter()
+        _, s = host(jax.random.fold_in(rng, 1))
+        dt = time.perf_counter() - t0
+        nfe, rej = s["nfe"], int(s["steps"]) - int(s["accepted"])
     ips = BATCH / dt
     nfe = int(nfe)
     return {
         "dopri5_stage_delta_imgs_per_sec": round(ips, 2),
         "dopri5_stage_delta_nfe": nfe,
         "dopri5_stage_delta_rejections": int(rej),
+        "dopri5_stage_delta_path": path,
+        # in-solve cost per field evaluation (batch 50): compare against
+        # the isolated probes (experiments/delta_kernel_probe.py /
+        # delta_eval_probe.py) to attribute solve overhead vs kernel cost
+        "dopri5_stage_delta_ms_per_eval": round(dt / nfe * 1000.0, 1),
         "dopri5_stage_delta_vs_baseline_equal_nfe": round(
             ips / (BASELINE_A100_IMG_PER_SEC * STEPS / nfe), 3),
     }
@@ -763,10 +795,21 @@ def main():
             result[f"{key}_error"] = err
         print(json.dumps(result), flush=True)  # last complete line wins
     # promote the stage-delta line to the reference-default protocol
-    # metric when it beats the bf16 view at the SAME literal solve
+    # metric only when it beats a LIKE-FOR-LIKE bf16 number: the bf16
+    # dopri5 section must have succeeded on the compiled-while-loop path
+    # (a stages-device-fallback bf16 number is slower for reasons that
+    # have nothing to do with the field), and the comparison basis is
+    # recorded (advisor r4)
     sd = result.get("dopri5_stage_delta_imgs_per_sec")
-    if sd and sd > (result.get("dopri5_torchdiffeq_default_imgs_per_sec")
-                    or 0.0):
+    bf16_def = result.get("dopri5_torchdiffeq_default_imgs_per_sec")
+    if (sd and bf16_def
+            and result.get("dopri5_path") == "compiled-while-loop"
+            and sd > bf16_def):
+        result["dopri5_promoted_over"] = {
+            "bf16_imgs_per_sec": bf16_def,
+            "bf16_path": result["dopri5_path"],
+            "stage_delta_path": result.get("dopri5_stage_delta_path"),
+        }
         result["dopri5_torchdiffeq_default_imgs_per_sec"] = sd
         result["dopri5_torchdiffeq_default_nfe"] = \
             result["dopri5_stage_delta_nfe"]
