@@ -6,8 +6,12 @@ field — the speed target), the fused base eval, and the fused delta
 eval. Pinpoints which kernel eats the gap when the adaptive delta solve
 underperforms.
 
-Usage: python experiments/delta_eval_probe.py {view|base|delta|xbase|xdelta}
+Usage: python experiments/delta_eval_probe.py
+    {view|base|delta|baseg|deltag|xbase|xdelta}
 (one case per process — tunnel compile serialization)
+
+``baseg``/``deltag``: gelu_cache=True variants (base emits the affine
+post-GELU hidden; delta drops its second GELU pass).
 """
 import sys
 import time
@@ -49,14 +53,16 @@ def main(case):
         args = (params, x)
     else:
         dp = jax.jit(delta_field.prepare_delta_params)(params)
-        fused = case in ("base", "delta")
-        if case.endswith("base"):
+        fused = case in ("base", "delta", "baseg", "deltag")
+        gcache = case.endswith("g")
+        if case.rstrip("g").endswith("base"):
 
             @jax.jit
             def run(dp, x):
                 def body(x, _):
                     f, _c = delta_field.anchored_vf_base(
-                        model, dp, jnp.float32(0.5), x, fused=fused)
+                        model, dp, jnp.float32(0.5), x, fused=fused,
+                        gelu_cache=gcache)
                     return x + 0.001 * f, None
 
                 x, _ = jax.lax.scan(body, x, None, length=REPS)
@@ -67,7 +73,8 @@ def main(case):
             @jax.jit
             def run(dp, x):
                 f0, cache = delta_field.anchored_vf_base(
-                    model, dp, jnp.float32(0.5), x, fused=fused)
+                    model, dp, jnp.float32(0.5), x, fused=fused,
+                    gelu_cache=gcache)
 
                 def body(x, _):
                     f = delta_field.anchored_vf_delta(

@@ -7,7 +7,11 @@ speed-of-light reference for the MLP half. Attribution for the delta
 eval's cost gap vs the base eval (experiments/delta_eval_probe.py).
 
 Usage: python experiments/delta_kernel_probe.py \
-    {battn|dattn|bmlp|dmlp|refmlp} (one case per process)
+    {battn|dattn|bmlp|dmlp|refmlp|bmlpg|dmlpg} (one case per process)
+
+``bmlpg``/``dmlpg``: the gelu-cache variants (base additionally emits
+the affine post-GELU hidden; delta anchors there and drops its second
+GELU pass — the r5 attack on the dmlp-vs-bmlp VPU gap).
 """
 import sys
 import time
@@ -102,6 +106,37 @@ def main(case):
             return x
 
         args = (x, xb, eq, es, mb)
+    elif case == "bmlpg":
+
+        @jax.jit
+        def run(x):
+            def body(x, _):
+                o, eq, es, m, gq, gs, gz = D.base_mlp_block(
+                    x, lns, lnb, w1, w1s, b1, w2, w2s, b2, LN_EPS,
+                    emit_gelu=True)
+                return (x + 0.001 * o).astype(x.dtype), None
+
+            x, _ = jax.lax.scan(body, x, None, length=REPS)
+            return x
+
+        args = (x,)
+    elif case == "dmlpg":
+        _, eq, es, mb, gq, gs, gz = D.base_mlp_block(
+            xb, lns, lnb, w1, w1s, b1, w2, w2s, b2, LN_EPS,
+            emit_gelu=True)
+
+        @jax.jit
+        def run(x, xb, eq, es, gq, gs, gz, mb):
+            def body(x, _):
+                o = D.delta_mlp_block(x, xb, eq, es, mb, lns, lnb,
+                                      w1, w1s, w2, w2s, LN_EPS,
+                                      gelu_cache=(gq, gs, gz))
+                return (x + 0.001 * o).astype(x.dtype), None
+
+            x, _ = jax.lax.scan(body, x, None, length=REPS)
+            return x
+
+        args = (x, xb, eq, es, gq, gs, gz, mb)
     elif case == "refmlp":
         from uspace_tpu.ops.mlp import fused_mlp_block_q
 

@@ -92,6 +92,68 @@ def test_delta_tracks_full(tiny):
     assert _rel(f2, f2_full) < 0.04
 
 
+def test_gelu_cache_zero_distance_near_exact(tiny):
+    """gelu_cache=True anchors the delta's GELU difference at the
+    base's quantized post-GELU hidden: a zero stage delta is no longer
+    bit-exact (dg -> the base's hidden-quant residual r), but the
+    reconstruction m_b + W2 q8(r) CANCELS r, so the zero-distance
+    evaluation must sit WITHIN the base's own int8 noise floor — far
+    under the delta-tracking bound (0.04)."""
+    from uspace_tpu.core import delta_field
+
+    model, _, dp, _, _ = tiny
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 8, 4), jnp.float32)
+    t = jnp.float32(0.5)
+    f0, cache = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
+        model, dp, t, x, fused=True, gelu_cache=True))(dp, t, x)
+    f_d = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
+        model, dp, t, x, c, fused=True))(dp, t, x, cache)
+    assert _rel(f_d, f0) < 5e-3
+    # and the cache carries the three extra tensors
+    assert all(k in cache["mid_block"] for k in ("g_q", "g_s", "g_z"))
+
+
+def test_gelu_cache_tracks_full(tiny):
+    from uspace_tpu.core import delta_field
+
+    model, _, dp, _, _ = tiny
+    rng = jax.random.PRNGKey(9)
+    x0 = jax.random.normal(rng, (2, 8, 8, 4), jnp.float32)
+    base_g = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
+        model, dp, t, x, fused=True, gelu_cache=True))
+    delta = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
+        model, dp, t, x, c, fused=True))
+    _, cache = base_g(dp, jnp.float32(0.3), x0)
+    x1 = x0 + 0.02 * jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    f1 = delta(dp, jnp.float32(0.32), x1, cache)
+    f1_full, _ = base_g(dp, jnp.float32(0.32), x1)
+    assert _rel(f1, f1_full) < 0.04
+
+
+def test_gelu_cache_fused_matches_unfused(tiny):
+    """The fused g-cache kernels against the plain-XLA affine-strip
+    twin (same quantize-then-use semantics; granularity identical —
+    per-row per-strip on both sides)."""
+    from uspace_tpu.core import delta_field
+
+    model, _, dp, _, _ = tiny
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 8, 8, 4),
+                          jnp.float32)
+    t = jnp.float32(0.4)
+    f_f, c_f = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
+        model, dp, t, x, fused=True, gelu_cache=True))(dp, t, x)
+    f_u, c_u = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
+        model, dp, t, x, fused=False, gelu_cache=True))(dp, t, x)
+    assert set(c_f.keys()) == set(c_u.keys())
+    assert _rel(f_f, f_u) < 0.03
+    x1 = x + 0.03 * jax.random.normal(jax.random.PRNGKey(11), x.shape)
+    d_f = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
+        model, dp, t, x, c, fused=True))(dp, jnp.float32(0.42), x1, c_f)
+    d_u = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
+        model, dp, t, x, c, fused=False))(dp, jnp.float32(0.42), x1, c_u)
+    assert _rel(d_f, d_u) < 0.03
+
+
 def test_unfused_delta_zero_distance_exact(tiny):
     from uspace_tpu.core import delta_field
 
@@ -173,7 +235,12 @@ def test_stage_unroll_matches_scan_fast(tiny):
     x_s, s_s = solve(False)
     assert int(s_u["nfe"]) == int(s_s["nfe"])
     assert int(s_u["accepted"]) == int(s_s["accepted"])
-    assert _rel(x_u, x_s) < 1e-4
+    # identical step sequence; the solution bound is loose because the
+    # g-cache delta quantizes near-constant dg values whose int8
+    # rounding decisions can flip on f32 summation-order differences
+    # between the unrolled and scan contractions (measured 3.5e-4 —
+    # far under the field's int8 noise floor ~0.03)
+    assert _rel(x_u, x_s) < 2e-3
 
 
 def test_stage_delta_host_driver_matches_device(tiny):
@@ -196,8 +263,8 @@ def test_stage_delta_host_driver_matches_device(tiny):
 
     x_dev, s_dev = dev(dp, z)
 
-    fb_h = lambda t, x, p: delta_field.anchored_vf_base(model, p, t, x,
-                                                        fused=True)
+    fb_h = lambda t, x, p: delta_field.anchored_vf_base(
+        model, p, t, x, fused=True, gelu_cache=True)
     fd_h = lambda t, x, c, p: delta_field.anchored_vf_delta(
         model, p, t, x, c, fused=True)
     x_h, s_h = solvers.odeint_adaptive_host(
@@ -237,4 +304,6 @@ def test_stage_unroll_matches_scan(tiny):
     x_s, s_s = solve(False)
     assert int(s_u["nfe"]) == int(s_s["nfe"])
     assert int(s_u["accepted"]) == int(s_s["accepted"])
-    assert _rel(x_u, x_s) < 1e-4
+    # same rationale as the fast twin: g-cache near-constant dg rounding
+    # flips on summation order (measured 3.5e-4 at rtol=1e-5)
+    assert _rel(x_u, x_s) < 2e-3

@@ -362,13 +362,22 @@ def _base_mlp_cache_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
                            w2_ref, s2_ref, b2_ref,
                            o_ref, eq_ref, es_ref, m_ref,
                            w1_v, w2_v, h_v, sem,
-                           *, hidden: int, eps: float, col_slices: int):
+                           *, hidden: int, eps: float, col_slices: int,
+                           gq_ref=None, gs_ref=None, gz_ref=None):
     """Base MLP half: int8 W8A8 ``o = x + fc2(gelu(fc1(LN2(x))))``
     emitting the pre-GELU hidden as int8 (+ per-strip per-row scales)
     and the fc2 output ``m`` in bf16. GELU consumes the DEQUANTIZED
     hidden so a zero delta reproduces ``m`` exactly. The fc2 input is
     quantized per-strip asymmetric-affine (one-sided GELU output, see
-    ops/mlp.py:_mlp_kernel_int8)."""
+    ops/mlp.py:_mlp_kernel_int8).
+
+    With ``gq/gs/gz`` refs bound (the ``emit_gelu`` variant), the
+    affine-quantized post-GELU hidden the kernel already feeds fc2 is
+    ALSO written out (int8 + per-strip scale/zero-point), so delta
+    stages can anchor the GELU difference at ``deq(g_q)`` instead of
+    recomputing ``gelu(deq(e_q))`` — dropping the delta kernel's
+    second GELU pass (the measured VPU gap vs the base kernel, see
+    experiments/delta_mlp_sweep.py)."""
     @pl.when(pl.program_id(0) == 0)
     def _load():
         cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
@@ -402,8 +411,12 @@ def _base_mlp_cache_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
         gmin = jnp.min(g, axis=-1, keepdims=True)
         sc = jnp.maximum(gmax - gmin, 1e-8) * (1.0 / 254.0)
         zp = (gmax + gmin) * 0.5
-        h_v[:, j * hs:(j + 1) * hs] = jnp.round(
-            (g - zp) / sc).astype(jnp.int8)
+        gq = jnp.round((g - zp) / sc).astype(jnp.int8)
+        h_v[:, j * hs:(j + 1) * hs] = gq
+        if gq_ref is not None:
+            gq_ref[:, j * hs:(j + 1) * hs] = gq
+            gs_ref[:, j:j + 1] = sc
+            gz_ref[:, j:j + 1] = zp
         hscales.append(sc)
         hzps.append(zp)
     acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
@@ -420,6 +433,86 @@ def _base_mlp_cache_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
     mq = m.astype(m_ref.dtype)
     m_ref[:] = mq
     o_ref[:] = x + mq.astype(o_ref.dtype)
+
+
+def _base_mlp_cache_kernel_g(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref,
+                             b1_ref, w2_ref, s2_ref, b2_ref,
+                             o_ref, eq_ref, es_ref, m_ref,
+                             gq_ref, gs_ref, gz_ref,
+                             w1_v, w2_v, h_v, sem,
+                             *, hidden: int, eps: float, col_slices: int):
+    """``emit_gelu`` entry point: positional-ref binding for the three
+    extra post-GELU cache outputs (pallas passes refs positionally in
+    in/out/scratch order)."""
+    return _base_mlp_cache_kernel(
+        x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+        b2_ref, o_ref, eq_ref, es_ref, m_ref, w1_v, w2_v, h_v, sem,
+        hidden=hidden, eps=eps, col_slices=col_slices,
+        gq_ref=gq_ref, gs_ref=gs_ref, gz_ref=gz_ref)
+
+
+def _delta_mlp_kernel_g(x_ref, xb_ref, eq_ref, es_ref, gq_ref, gs_ref,
+                        gz_ref, mb_ref,
+                        lns_ref, lnb_ref, w1_ref, s1_ref, w2_ref, s2_ref,
+                        o_ref, w1_v, w2_v, h_v, sem,
+                        *, hidden: int, eps: float, col_slices: int):
+    """GELU-cache delta MLP half: one GELU pass instead of two.
+
+    ``dg = gelu(deq(e_q) + de) - deq_affine(g_q)`` — anchored at the
+    post-GELU hidden the base ACTUALLY fed fc2, so the base's hidden
+    quantization residual ``r = gelu(e_b) - deq(g_q)`` cancels exactly
+    in the reconstruction: ``m_i = m_b + W2 @ q8(dg)`` with ``m_b =
+    fc2(deq(g_q))`` gives ``fc2(gelu(e_i))`` with no ``-W2 r`` term
+    (the two-GELU variant carries it). Cost: the second GELU (the
+    measured VPU gap vs the base kernel) is replaced by a 2-op affine
+    dequant + one extra int8 stream. A zero stage delta is no longer
+    bit-exact: ``dg -> r``, re-rounded per stage at amplitude
+    ``amax(r)/127`` ~ range/64k — two orders below bf16's own
+    activation rounding (range/256), so the dopri5 error estimate
+    cannot see it (NFE pinned by tests/test_delta_field.py)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
+        cp.start()
+        cp.wait()
+        cp2 = pltpu.make_async_copy(w2_ref, w2_v, sem)
+        cp2.start()
+        cp2.wait()
+
+    x = x_ref[:]
+    xb = xb_ref[:]
+    d = _ln_f32(x, lns_ref, lnb_ref, eps) \
+        - _ln_f32(xb, lns_ref, lnb_ref, eps)
+    dq, ds = _rowquant(d)
+    hs = hidden // col_slices
+    hscales = []
+    for j in range(col_slices):
+        part = jax.lax.dot_general(
+            dq, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        de = part.astype(jnp.float32) * ds \
+            * s1_ref[0:1, j * hs:(j + 1) * hs]
+        eb = eq_ref[:, j * hs:(j + 1) * hs].astype(jnp.float32) \
+            * es_ref[:, j:j + 1].astype(jnp.float32)
+        gb = gq_ref[:, j * hs:(j + 1) * hs].astype(jnp.float32) \
+            * gs_ref[:, j:j + 1].astype(jnp.float32) \
+            + gz_ref[:, j:j + 1].astype(jnp.float32)
+        dg = _gelu_exact(eb + de) - gb
+        amax = jnp.maximum(jnp.max(jnp.abs(dg), axis=-1, keepdims=True),
+                           1e-8)
+        h_v[:, j * hs:(j + 1) * hs] = jnp.round(
+            dg * (127.0 / amax)).astype(jnp.int8)
+        hscales.append(amax * (1.0 / 127.0))
+    acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
+    for j in range(col_slices):
+        dd = jax.lax.dot_general(
+            h_v[:, j * hs:(j + 1) * hs], w2_v[j * hs:(j + 1) * hs, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        acc += dd.astype(jnp.float32) * hscales[j]
+    m = mb_ref[:].astype(jnp.float32) + acc * s2_ref[0:1, :]
+    o_ref[:] = x + m.astype(o_ref.dtype)
 
 
 def _delta_mlp_kernel(x_ref, xb_ref, eq_ref, es_ref, mb_ref,
@@ -540,10 +633,13 @@ def base_mlp_block(x: Array, ln_scale: Array, ln_bias: Array,
                    w1q: Array, s1: Array, b1: Array,
                    w2q: Array, s2: Array, b2: Array,
                    eps: float, interpret: Optional[bool] = None,
-                   ) -> Tuple[Array, Array, Array, Array]:
+                   emit_gelu: bool = False):
     """Returns ``(o, e_q, e_s, m)`` — the MLP half plus its int8 hidden
     cache ([rows, H] int8, [rows, n_slices] f32 scales) and the bf16
-    fc2 output. ``x``: [..., C]; weights pre-quantized."""
+    fc2 output. ``x``: [..., C]; weights pre-quantized. With
+    ``emit_gelu`` the affine-quantized post-GELU hidden is appended:
+    ``(o, e_q, e_s, m, g_q, g_s, g_z)`` (int8 [rows, H] + two
+    [rows, n_slices] f32) — the anchor for the one-GELU delta kernel."""
     if interpret is None:
         interpret = not _on_tpu()
     lead = x.shape[:-1]
@@ -553,35 +649,50 @@ def base_mlp_block(x: Array, ln_scale: Array, ln_bias: Array,
     while hidden % col_slices:
         col_slices -= 1
     row = lambda t: t.reshape(1, -1).astype(jnp.float32)
-    o, e_q, e_s, m = _mlp_call(
-        functools.partial(_base_mlp_cache_kernel, eps=eps),
+    kernel = _base_mlp_cache_kernel_g if emit_gelu \
+        else _base_mlp_cache_kernel
+    out_shapes = [(c, x.dtype), (hidden, jnp.int8),
+                  (col_slices, jnp.float32), (c, x.dtype)]
+    if emit_gelu:
+        out_shapes += [(hidden, jnp.int8), (col_slices, jnp.float32),
+                       (col_slices, jnp.float32)]
+    out = _mlp_call(
+        functools.partial(kernel, eps=eps),
         x.reshape(-1, c), [],
         (row(ln_scale), row(ln_bias), w1q, row(s1), row(b1),
          w2q, row(s2), row(b2)),
-        hidden,
-        [(c, x.dtype), (hidden, jnp.int8), (col_slices, jnp.float32),
-         (c, x.dtype)],
-        interpret)
-    return (o.reshape(*lead, c), e_q.reshape(-1, hidden),
+        hidden, out_shapes, interpret)
+    o, e_q, e_s, m = out[:4]
+    head = (o.reshape(*lead, c), e_q.reshape(-1, hidden),
             e_s, m.reshape(*lead, c))
+    return head + tuple(out[4:]) if emit_gelu else head
 
 
 def delta_mlp_block(x: Array, xb: Array, e_q: Array, e_s: Array,
                     m_b: Array, ln_scale: Array, ln_bias: Array,
                     w1q: Array, s1: Array, w2q: Array, s2: Array,
-                    eps: float, interpret: Optional[bool] = None) -> Array:
+                    eps: float, interpret: Optional[bool] = None,
+                    gelu_cache: Optional[Tuple[Array, Array, Array]] = None,
+                    ) -> Array:
     """Returns ``o_i`` [..., C] — the whole MLP half anchored at the
-    base cache (``e_q/e_s`` from :func:`base_mlp_block`, row-aligned)."""
+    base cache (``e_q/e_s`` from :func:`base_mlp_block`, row-aligned).
+    ``gelu_cache=(g_q, g_s, g_z)`` (from ``base_mlp_block(...,
+    emit_gelu=True)``) selects the one-GELU kernel variant."""
     if interpret is None:
         interpret = not _on_tpu()
     lead = x.shape[:-1]
     c = x.shape[-1]
     hidden = w1q.shape[-1]
     row = lambda t: t.reshape(1, -1).astype(jnp.float32)
+    cached = [xb.reshape(-1, c), e_q, e_s]
+    kernel = _delta_mlp_kernel
+    if gelu_cache is not None:
+        cached += list(gelu_cache)
+        kernel = _delta_mlp_kernel_g
+    cached.append(m_b.reshape(-1, c))
     (o,) = _mlp_call(
-        functools.partial(_delta_mlp_kernel, eps=eps),
-        x.reshape(-1, c),
-        [xb.reshape(-1, c), e_q, e_s, m_b.reshape(-1, c)],
+        functools.partial(kernel, eps=eps),
+        x.reshape(-1, c), cached,
         (row(ln_scale), row(ln_bias), w1q, row(s1), w2q, row(s2)),
         hidden, [(c, x.dtype)], interpret)
     return o.reshape(*lead, c)
