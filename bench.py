@@ -288,7 +288,8 @@ def bench_dopri5_delta(params, rng):
         def host(rng):
             z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
             fb = lambda t, x, p: delta_field.anchored_vf_base(
-                model, p, t, x, gelu_cache=True)
+                model, p, t, x,
+                hidden_mode=delta_field.DEFAULT_HIDDEN_MODE)
             fd = lambda t, x, c, p: delta_field.anchored_vf_delta(
                 model, p, t, x, c)
             x1, s = solvers.odeint_adaptive_host(

@@ -10,7 +10,7 @@ stays clean (docs/scaling.md).
 Measures: NFE, rejections, img/s, and solution agreement vs the bf16
 lnmlp view's dopri5 solution from the same z.
 
-Usage: python experiments/delta_dopri5.py [agree] [xla]
+Usage: python experiments/delta_dopri5.py [agree] [xla] [mode=<hidden_mode>]
 ("xla" runs the unfused plain-XLA composition instead of the fused
 Pallas delta kernels — the A/B for ops/delta.py)
 """
@@ -24,7 +24,7 @@ import jax.numpy as jnp
 BATCH = 50
 
 
-def main(check_agreement=False, fused=True):
+def main(check_agreement=False, fused=True, hidden_mode=None):
     from uspace_tpu.core import delta_field, solvers
     from uspace_tpu.models import UViT
 
@@ -38,7 +38,8 @@ def main(check_agreement=False, fused=True):
     @jax.jit
     def run_delta(dp, rng):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
-        fb, fd = delta_field.make_delta_field(model, dp, fused=fused)
+        fb, fd = delta_field.make_delta_field(model, dp, fused=fused,
+                                              hidden_mode=hidden_mode)
         x1, s = solvers.odeint_adaptive(
             None, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
             controller="i", safety=0.9, return_stats=True,
@@ -84,5 +85,9 @@ def main(check_agreement=False, fused=True):
 
 
 if __name__ == "__main__":
+    _mode = None
+    for a in sys.argv[1:]:
+        if a.startswith("mode="):
+            _mode = a.split("=", 1)[1]
     main(check_agreement="agree" in sys.argv[1:],
-         fused="xla" not in sys.argv[1:])
+         fused="xla" not in sys.argv[1:], hidden_mode=_mode)

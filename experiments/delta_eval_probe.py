@@ -10,8 +10,10 @@ Usage: python experiments/delta_eval_probe.py
     {view|base|delta|baseg|deltag|xbase|xdelta}
 (one case per process — tunnel compile serialization)
 
-``baseg``/``deltag``: gelu_cache=True variants (base emits the affine
-post-GELU hidden; delta drops its second GELU pass).
+``baseg``/``deltag``: hidden_mode="gelu" (base emits the affine
+post-GELU hidden; delta drops its second GELU pass). ``basegr``/
+``deltagr``: hidden_mode="grad" (base emits gelu'(e); delta is
+GELU-free, dg = de * gelu'(e_b)).
 """
 import sys
 import time
@@ -53,16 +55,16 @@ def main(case):
         args = (params, x)
     else:
         dp = jax.jit(delta_field.prepare_delta_params)(params)
-        fused = case in ("base", "delta", "baseg", "deltag")
-        gcache = case.endswith("g")
-        if case.rstrip("g").endswith("base"):
+        fused = case.rstrip("gr") in ("base", "delta")
+        hmode = {"g": "gelu", "r": "grad"}.get(case[-1], "exact")
+        if case.rstrip("gr").endswith("base"):
 
             @jax.jit
             def run(dp, x):
                 def body(x, _):
                     f, _c = delta_field.anchored_vf_base(
                         model, dp, jnp.float32(0.5), x, fused=fused,
-                        gelu_cache=gcache)
+                        hidden_mode=hmode)
                     return x + 0.001 * f, None
 
                 x, _ = jax.lax.scan(body, x, None, length=REPS)
@@ -74,7 +76,7 @@ def main(case):
             def run(dp, x):
                 f0, cache = delta_field.anchored_vf_base(
                     model, dp, jnp.float32(0.5), x, fused=fused,
-                    gelu_cache=gcache)
+                    hidden_mode=hmode)
 
                 def body(x, _):
                     f = delta_field.anchored_vf_delta(

@@ -30,6 +30,19 @@ def main(case):
     from uspace_tpu.ops import delta as D
     from uspace_tpu.ops.quant import quantize_colwise
 
+    # "<case>@TILE[_SLICES[_VMEMMB]]" overrides the ops.delta tiling for
+    # this process (e.g. dmlpg@224, dmlpg@224_4_96)
+    if "@" in case:
+        case, spec = case.split("@", 1)
+        parts = spec.split("_")
+        D._MLP_ROW_TILE = int(parts[0])
+        if len(parts) > 1:
+            D._COL_SLICES = int(parts[1])
+        if len(parts) > 2:
+            D._VMEM_LIMIT = int(parts[2]) * 2**20
+        print(f"tiling override: tile={D._MLP_ROW_TILE} "
+              f"slices={D._COL_SLICES} vmem={D._VMEM_LIMIT}", flush=True)
+
     rng = jax.random.PRNGKey(0)
     ks = jax.random.split(rng, 8)
     x = jax.random.normal(ks[0], (B, L, C), jnp.bfloat16)
@@ -113,7 +126,7 @@ def main(case):
             def body(x, _):
                 o, eq, es, m, gq, gs, gz = D.base_mlp_block(
                     x, lns, lnb, w1, w1s, b1, w2, w2s, b2, LN_EPS,
-                    emit_gelu=True)
+                    mode="e+g")
                 return (x + 0.001 * o).astype(x.dtype), None
 
             x, _ = jax.lax.scan(body, x, None, length=REPS)
@@ -123,7 +136,7 @@ def main(case):
     elif case == "dmlpg":
         _, eq, es, mb, gq, gs, gz = D.base_mlp_block(
             xb, lns, lnb, w1, w1s, b1, w2, w2s, b2, LN_EPS,
-            emit_gelu=True)
+            mode="e+g")
 
         @jax.jit
         def run(x, xb, eq, es, gq, gs, gz, mb):
@@ -137,6 +150,36 @@ def main(case):
             return x
 
         args = (x, xb, eq, es, gq, gs, gz, mb)
+    elif case == "bmlpgr":
+
+        @jax.jit
+        def run(x):
+            def body(x, _):
+                o, gpq, gps, m = D.base_mlp_block(
+                    x, lns, lnb, w1, w1s, b1, w2, w2s, b2, LN_EPS,
+                    mode="grad")
+                return (x + 0.001 * o).astype(x.dtype), None
+
+            x, _ = jax.lax.scan(body, x, None, length=REPS)
+            return x
+
+        args = (x,)
+    elif case == "dmlpgr":
+        _, gpq, gps, mb = D.base_mlp_block(
+            xb, lns, lnb, w1, w1s, b1, w2, w2s, b2, LN_EPS, mode="grad")
+
+        @jax.jit
+        def run(x, xb, gpq, gps, mb):
+            def body(x, _):
+                o = D.delta_mlp_block(x, xb, gpq, gps, mb, lns, lnb,
+                                      w1, w1s, w2, w2s, LN_EPS,
+                                      grad=True)
+                return (x + 0.001 * o).astype(x.dtype), None
+
+            x, _ = jax.lax.scan(body, x, None, length=REPS)
+            return x
+
+        args = (x, xb, gpq, gps, mb)
     elif case == "refmlp":
         from uspace_tpu.ops.mlp import fused_mlp_block_q
 

@@ -105,7 +105,7 @@ def test_gelu_cache_zero_distance_near_exact(tiny):
     x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 8, 4), jnp.float32)
     t = jnp.float32(0.5)
     f0, cache = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
-        model, dp, t, x, fused=True, gelu_cache=True))(dp, t, x)
+        model, dp, t, x, fused=True, hidden_mode="gelu"))(dp, t, x)
     f_d = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
         model, dp, t, x, c, fused=True))(dp, t, x, cache)
     assert _rel(f_d, f0) < 5e-3
@@ -120,7 +120,7 @@ def test_gelu_cache_tracks_full(tiny):
     rng = jax.random.PRNGKey(9)
     x0 = jax.random.normal(rng, (2, 8, 8, 4), jnp.float32)
     base_g = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
-        model, dp, t, x, fused=True, gelu_cache=True))
+        model, dp, t, x, fused=True, hidden_mode="gelu"))
     delta = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
         model, dp, t, x, c, fused=True))
     _, cache = base_g(dp, jnp.float32(0.3), x0)
@@ -141,9 +141,9 @@ def test_gelu_cache_fused_matches_unfused(tiny):
                           jnp.float32)
     t = jnp.float32(0.4)
     f_f, c_f = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
-        model, dp, t, x, fused=True, gelu_cache=True))(dp, t, x)
+        model, dp, t, x, fused=True, hidden_mode="gelu"))(dp, t, x)
     f_u, c_u = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
-        model, dp, t, x, fused=False, gelu_cache=True))(dp, t, x)
+        model, dp, t, x, fused=False, hidden_mode="gelu"))(dp, t, x)
     assert set(c_f.keys()) == set(c_u.keys())
     assert _rel(f_f, f_u) < 0.03
     x1 = x + 0.03 * jax.random.normal(jax.random.PRNGKey(11), x.shape)
@@ -152,6 +152,103 @@ def test_gelu_cache_fused_matches_unfused(tiny):
     d_u = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
         model, dp, t, x, c, fused=False))(dp, jnp.float32(0.42), x1, c_u)
     assert _rel(d_f, d_u) < 0.03
+
+
+def test_grad_zero_distance_exact(tiny):
+    """hidden_mode="grad": dg = de * gelu'(e_b) is EXACTLY zero at zero
+    stage distance (unlike "gelu", which re-rounds the base residual),
+    so the bit-exact invariant holds like the exact-mode kernel."""
+    from uspace_tpu.core import delta_field
+
+    model, _, dp, _, _ = tiny
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, 8, 8, 4),
+                          jnp.float32)
+    t = jnp.float32(0.5)
+    f0, cache = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
+        model, dp, t, x, fused=True, hidden_mode="grad"))(dp, t, x)
+    f_d = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
+        model, dp, t, x, c, fused=True))(dp, t, x, cache)
+    assert _rel(f_d, f0) == 0.0
+    assert all(k in cache["mid_block"] for k in ("gp_q", "gp_s"))
+    assert "e_q" not in cache["mid_block"]
+
+
+def test_grad_tracks_full(tiny):
+    """The linearized delta omits the O(h^2) GELU remainder — at the
+    probe distances (0.02) agreement stays within the same int8-floor
+    bound as the exact kernels."""
+    from uspace_tpu.core import delta_field
+
+    model, _, dp, _, _ = tiny
+    rng = jax.random.PRNGKey(13)
+    x0 = jax.random.normal(rng, (2, 8, 8, 4), jnp.float32)
+    base_g = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
+        model, dp, t, x, fused=True, hidden_mode="grad"))
+    delta = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
+        model, dp, t, x, c, fused=True))
+    _, cache = base_g(dp, jnp.float32(0.3), x0)
+    x1 = x0 + 0.02 * jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    f1 = delta(dp, jnp.float32(0.32), x1, cache)
+    f1_full, _ = base_g(dp, jnp.float32(0.32), x1)
+    assert _rel(f1, f1_full) < 0.04
+
+
+def test_grad_fused_matches_unfused(tiny):
+    from uspace_tpu.core import delta_field
+
+    model, _, dp, _, _ = tiny
+    x = jax.random.normal(jax.random.PRNGKey(14), (2, 8, 8, 4),
+                          jnp.float32)
+    t = jnp.float32(0.4)
+    f_f, c_f = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
+        model, dp, t, x, fused=True, hidden_mode="grad"))(dp, t, x)
+    f_u, c_u = jax.jit(lambda dp, t, x: delta_field.anchored_vf_base(
+        model, dp, t, x, fused=False, hidden_mode="grad"))(dp, t, x)
+    assert set(c_f.keys()) == set(c_u.keys())
+    assert _rel(f_f, f_u) < 0.03
+    x1 = x + 0.03 * jax.random.normal(jax.random.PRNGKey(15), x.shape)
+    d_f = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
+        model, dp, t, x, c, fused=True))(dp, jnp.float32(0.42), x1, c_f)
+    d_u = jax.jit(lambda dp, t, x, c: delta_field.anchored_vf_delta(
+        model, dp, t, x, c, fused=False))(dp, jnp.float32(0.42), x1, c_u)
+    assert _rel(d_f, d_u) < 0.03
+
+
+def test_grad_adaptive_solve_nfe(tiny):
+    """The load-bearing check for the linearized delta: the O(h^2)
+    remainder it omits is SMOOTH, so the embedded error estimate must
+    not inflate NFE vs the bf16 field (plain int8 roughly doubles it
+    here). Also pins solution agreement with the bf16 solve."""
+    from uspace_tpu.core import delta_field, solvers
+
+    model, params, dp, _, _ = tiny
+    z = jax.random.normal(jax.random.PRNGKey(16), (2, 8, 8, 4),
+                          jnp.float32)
+
+    @jax.jit
+    def solve_bf16(params, z):
+        def vf(t, x):
+            tb = jnp.full((x.shape[0],), t, jnp.float32)
+            return model.apply(params, x, tb)[0].astype(jnp.float32)
+
+        return solvers.odeint_adaptive(
+            vf, z, 0.0, 1.0, method="dopri5", rtol=1e-4, atol=1e-4,
+            controller="i", safety=0.9, return_stats=True)
+
+    @jax.jit
+    def solve_grad(dp, z):
+        fb, fd = delta_field.make_delta_field(model, dp, fused=True,
+                                              hidden_mode="grad")
+        return solvers.odeint_adaptive(
+            None, z, 0.0, 1.0, method="dopri5", rtol=1e-4, atol=1e-4,
+            controller="i", safety=0.9, return_stats=True,
+            stage_delta=(fb, fd))
+
+    x_bf, s_bf = solve_bf16(params, z)
+    x_d, s_d = solve_grad(dp, z)
+    assert _rel(x_d, x_bf) < 0.05
+    assert int(s_d["nfe"]) <= int(s_bf["nfe"]) * 1.3
+    assert bool(jnp.all(jnp.isfinite(x_d)))
 
 
 def test_unfused_delta_zero_distance_exact(tiny):
@@ -264,7 +361,8 @@ def test_stage_delta_host_driver_matches_device(tiny):
     x_dev, s_dev = dev(dp, z)
 
     fb_h = lambda t, x, p: delta_field.anchored_vf_base(
-        model, p, t, x, fused=True, gelu_cache=True)
+        model, p, t, x, fused=True,
+        hidden_mode=delta_field.DEFAULT_HIDDEN_MODE)
     fd_h = lambda t, x, c, p: delta_field.anchored_vf_delta(
         model, p, t, x, c, fused=True)
     x_h, s_h = solvers.odeint_adaptive_host(

@@ -65,7 +65,7 @@ from ..models.layers import LN_EPS, patchify, timestep_embedding, unpatchify
 from ..ops.attention import fused_qkv_attention
 from ..ops.delta import (base_attn_block, base_mlp_block,
                          delta_attn_block, delta_mlp_block)
-from ..ops.mlp import _gelu_exact
+from ..ops.mlp import _gelu_exact, _gelu_grad_exact
 from ..ops.quant import quantize_colwise, quantize_rowwise
 
 Array = jax.Array
@@ -184,6 +184,29 @@ def _affine_deq(g_q: Array, g_s: Array, g_z: Array) -> Array:
     return (gs * g_s[..., None] + g_z[..., None]).reshape(r, h)
 
 
+def _fc2_affine_exact(g2: Array, w2q: Array, s2: Array):
+    """fc2 on the affine-strip-quantized GELU output, quantize-then-use
+    (exact int8 dot on g_q + zero-point colsum correction — the XLA
+    twin of the fused base kernels' fc2). Returns the f32 accumulator
+    (pre-bias) and the (g_q, g_s, g_z) cache."""
+    g_q, g_s, g_z = _affine_strips(g2, 4)
+    n = g_s.shape[-1]
+    hs = g2.shape[-1] // n
+    w2 = w2q.reshape(n, hs, -1)
+    dd = jnp.einsum("rns,nsc->nrc", g_q.reshape(-1, n, hs), w2,
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+    colsum = jnp.sum(w2.astype(jnp.int32), axis=1).astype(jnp.float32)
+    acc = jnp.einsum("nrc,rn->rc", dd, g_s) + g_z @ colsum
+    return acc * s2, (g_q, g_s, g_z)
+
+
+# default anchored-cache layout for adaptive stage-delta solves (see
+# anchored_vf_base) — switched to whichever variant the TPU kernel
+# probes + in-solve bench measure fastest at NFE parity
+# (experiments/delta_kernel_probe.py, bench.py dopri5_delta section).
+DEFAULT_HIDDEN_MODE = "gelu"
+
+
 def _skip_base(bp: Dict, h: Array, skip: Array, dtype) -> Array:
     cin = jnp.concatenate([h, skip], axis=-1)
     return (_int8_dot(cin.astype(jnp.float32), bp["skip"]["q"],
@@ -193,7 +216,7 @@ def _skip_base(bp: Dict, h: Array, skip: Array, dtype) -> Array:
 
 def anchored_vf_base(model, dp: Dict, t: Array, x: Array,
                      fused: bool = True,
-                     gelu_cache: bool = False) -> Tuple[Array, Dict]:
+                     hidden_mode: str = "exact") -> Tuple[Array, Dict]:
     """Full int8 W8A8 evaluation emitting the read-only anchored cache.
 
     Per block the cache holds: ``qkv_q/qkv_s`` (int8 qkv, padded rows),
@@ -204,14 +227,21 @@ def anchored_vf_base(model, dp: Dict, t: Array, x: Array,
     ``_h0`` entry aliases the post-embed stream so delta stages skip
     the base-side embed entirely.
 
-    ``gelu_cache`` additionally emits the affine-quantized post-GELU
-    hidden (``g_q/g_s/g_z``) that fc2 ACTUALLY consumed, letting delta
-    stages anchor the GELU difference there and skip their second GELU
-    pass (the measured VPU gap vs the base MLP kernel). The base's
-    hidden-quantization residual then cancels exactly in the delta
-    reconstruction; the price is that a zero stage delta is no longer
-    bit-exact (re-rounded per stage at ~range/64k — two orders below
-    bf16's own rounding; NFE pinned by tests)."""
+    ``hidden_mode`` selects the MLP hidden-cache layout the delta
+    stages anchor at:
+
+    - ``"exact"``: int8 pre-GELU hidden; delta recomputes BOTH GELUs
+      (``dg = gelu(e_b + de) - gelu(e_b)``) — zero delta bit-exact.
+    - ``"gelu"``: additionally the affine post-GELU hidden fc2
+      consumed (``g_q/g_s/g_z``); delta skips its second GELU pass and
+      the base's hidden-quant residual cancels exactly. Zero delta
+      re-rounds at ~range/64k — two orders below bf16's own rounding.
+    - ``"grad"``: ``gelu'(e_b)`` int8 instead of the pre-GELU hidden;
+      delta is GELU-free (``dg = de * gelu'(e_b)``), zero delta
+      bit-exact, the omitted remainder is O(h^2) and smooth.
+
+    NFE parity for all three is pinned by tests and re-measured
+    in-protocol by bench.py."""
     dtype = model.dtype
     names = _block_names(model.depth)
     half = model.depth // 2
@@ -238,10 +268,15 @@ def anchored_vf_base(model, dp: Dict, t: Array, x: Array,
                 xm, bp["n2s"], bp["n2b"],
                 bp["fc1"]["q"], bp["fc1"]["s"], bp["fc1b"],
                 bp["fc2"]["q"], bp["fc2"]["s"], bp["fc2b"], LN_EPS,
-                emit_gelu=gelu_cache)
-            o, e_q, e_s, m = out[:4]
-            c["e_q"], c["e_s"], c["m"] = e_q, e_s, m
-            if gelu_cache:
+                mode={"exact": "e", "gelu": "e+g",
+                      "grad": "grad"}[hidden_mode])
+            o, m = out[0], out[3]
+            c["m"] = m
+            if hidden_mode == "grad":
+                c["gp_q"], c["gp_s"] = out[1], out[2]
+            else:
+                c["e_q"], c["e_s"] = out[1], out[2]
+            if hidden_mode == "gelu":
                 c["g_q"], c["g_s"], c["g_z"] = out[4:]
             h = o
         else:
@@ -259,29 +294,28 @@ def anchored_vf_base(model, dp: Dict, t: Array, x: Array,
             u2 = _ln(xm, bp["n2s"], bp["n2b"])
             e = _int8_dot(u2, bp["fc1"]["q"], bp["fc1"]["s"]) \
                 + bp["fc1b"].astype(jnp.float32)
-            e_q, e_s = quantize_rowwise(e)
-            c["e_q"], c["e_s"] = e_q, e_s
-            g = _gelu_exact(e_q.astype(jnp.float32) * e_s)
-            if gelu_cache:
+            if hidden_mode == "grad":
+                # the base consumes the exact hidden; only gelu'(e) is
+                # cached (the delta never re-evaluates the GELU)
+                gp = _gelu_grad_exact(e)
+                gp2 = gp.reshape(-1, gp.shape[-1])
+                c["gp_q"], c["gp_s"] = quantize_rowwise(gp2)
+                g = _gelu_exact(e)
+            else:
+                e_q, e_s = quantize_rowwise(e)
+                c["e_q"], c["e_s"] = e_q, e_s
+                g = _gelu_exact(e_q.astype(jnp.float32) * e_s)
+            if hidden_mode in ("gelu", "grad"):
                 # affine-strip quantize-then-use, the XLA twin of the
-                # fused kernel: fc2 consumes EXACTLY deq(g_q) (int8 dot
-                # + zero-point colsum correction, no re-quantization)
-                g2 = g.reshape(-1, g.shape[-1])
-                g_q, g_s, g_z = _affine_strips(g2, 4)
-                c["g_q"], c["g_s"], c["g_z"] = g_q, g_s, g_z
-                n = g_s.shape[-1]
-                hs = g2.shape[-1] // n
-                w2 = bp["fc2"]["q"].reshape(n, hs, -1)
-                dd = jnp.einsum(
-                    "rns,nsc->nrc", g_q.reshape(-1, n, hs), w2,
-                    preferred_element_type=jnp.int32).astype(jnp.float32)
-                colsum = jnp.sum(w2.astype(jnp.int32),
-                                 axis=1).astype(jnp.float32)
-                acc = jnp.einsum("nrc,rn->rc", dd, g_s) \
-                    + g_z @ colsum
-                m = (acc * bp["fc2"]["s"]
-                     + bp["fc2b"].astype(jnp.float32)).astype(dtype)
-                m = m.reshape(xm.shape)
+                # fused kernels: fc2 consumes EXACTLY deq(g_q) (int8
+                # dot + zero-point colsum correction)
+                acc, gcache = _fc2_affine_exact(
+                    g.reshape(-1, g.shape[-1]), bp["fc2"]["q"],
+                    bp["fc2"]["s"])
+                if hidden_mode == "gelu":
+                    c["g_q"], c["g_s"], c["g_z"] = gcache
+                m = (acc + bp["fc2b"].astype(jnp.float32)) \
+                    .astype(dtype).reshape(xm.shape)
             else:
                 m = (_int8_dot(g, bp["fc2"]["q"], bp["fc2"]["s"])
                      + bp["fc2b"].astype(jnp.float32)).astype(dtype)
@@ -324,13 +358,17 @@ def anchored_vf_delta(model, dp: Dict, t: Array, x: Array, cache: Dict,
                 bp["qkv"]["q"], bp["qkv"]["s"],
                 bp["proj"]["q"], bp["proj"]["s"],
                 model.num_heads, LN_EPS)
+            grad = "gp_q" in cb
             o = delta_mlp_block(
-                xm, cb["xm"], cb["e_q"], cb["e_s"], cb["m"],
+                xm, cb["xm"],
+                cb["gp_q"] if grad else cb["e_q"],
+                cb["gp_s"] if grad else cb["e_s"], cb["m"],
                 bp["n2s"], bp["n2b"],
                 bp["fc1"]["q"], bp["fc1"]["s"],
                 bp["fc2"]["q"], bp["fc2"]["s"], LN_EPS,
                 gelu_cache=((cb["g_q"], cb["g_s"], cb["g_z"])
-                            if "g_q" in cb else None))
+                            if "g_q" in cb else None),
+                grad=grad)
         else:
             u = _ln(h, bp["n1s"], bp["n1b"])
             u_b = _ln(hb, bp["n1s"], bp["n1b"])
@@ -344,13 +382,18 @@ def anchored_vf_delta(model, dp: Dict, t: Array, x: Array, cache: Dict,
             u2 = _ln(xm, bp["n2s"], bp["n2b"])
             u2_b = _ln(cb["xm"], bp["n2s"], bp["n2b"])
             de = _int8_dot(u2 - u2_b, bp["fc1"]["q"], bp["fc1"]["s"])
-            e_b = cb["e_q"].astype(jnp.float32) * cb["e_s"]
-            if "g_q" in cb:
-                g_b = _affine_deq(cb["g_q"], cb["g_s"], cb["g_z"]) \
-                    .reshape(e_b.shape)
-                dg = _gelu_exact(e_b + de) - g_b
+            if "gp_q" in cb:
+                gp = (cb["gp_q"].astype(jnp.float32)
+                      * cb["gp_s"]).reshape(de.shape)
+                dg = de * gp
             else:
-                dg = _gelu_exact(e_b + de) - _gelu_exact(e_b)
+                e_b = cb["e_q"].astype(jnp.float32) * cb["e_s"]
+                if "g_q" in cb:
+                    g_b = _affine_deq(cb["g_q"], cb["g_s"], cb["g_z"]) \
+                        .reshape(e_b.shape)
+                    dg = _gelu_exact(e_b + de) - g_b
+                else:
+                    dg = _gelu_exact(e_b + de) - _gelu_exact(e_b)
             dm = _int8_dot(dg, bp["fc2"]["q"], bp["fc2"]["s"])
             m = cb["m"].astype(jnp.float32) + dm
             o = xm + m.astype(dtype)
@@ -364,17 +407,18 @@ def anchored_vf_delta(model, dp: Dict, t: Array, x: Array, cache: Dict,
 
 
 def make_delta_field(model, dp: Dict, fused: bool = True,
-                     gelu_cache: bool = True):
+                     hidden_mode: str = None):
     """(vf_base, vf_delta) pair for :func:`solvers.odeint_adaptive`'s
     ``stage_delta`` option (anchor="base"). ``dp`` must be a traced
     argument of the enclosing jit (prepare_delta_params output), not a
     concrete closure — closure capture bakes the tree into the
-    executable payload. ``gelu_cache`` (default on) anchors delta-stage
-    GELU differences at the base's quantized post-GELU hidden — one
-    GELU pass per delta MLP instead of two (see
-    :func:`anchored_vf_base`); the delta side auto-detects it from the
-    cache keys."""
+    executable payload. ``hidden_mode`` (default
+    :data:`DEFAULT_HIDDEN_MODE`) selects the MLP hidden-cache layout
+    (see :func:`anchored_vf_base`); the delta side auto-detects it
+    from the cache keys."""
+    if hidden_mode is None:
+        hidden_mode = DEFAULT_HIDDEN_MODE
     return (lambda t, x: anchored_vf_base(model, dp, t, x, fused=fused,
-                                          gelu_cache=gelu_cache),
+                                          hidden_mode=hidden_mode),
             lambda t, x, cache: anchored_vf_delta(model, dp, t, x, cache,
                                                   fused=fused))

@@ -57,7 +57,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .mlp import _gelu_exact
+from .mlp import _gelu_exact, _gelu_grad_exact
 
 try:
     from jax.experimental.pallas import tpu as pltpu
@@ -451,6 +451,127 @@ def _base_mlp_cache_kernel_g(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref,
         gq_ref=gq_ref, gs_ref=gs_ref, gz_ref=gz_ref)
 
 
+def _base_mlp_cache_kernel_gr(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref,
+                              b1_ref, w2_ref, s2_ref, b2_ref,
+                              o_ref, gpq_ref, gps_ref, m_ref,
+                              w1_v, w2_v, h_v, sem,
+                              *, hidden: int, eps: float, col_slices: int):
+    """Linearized-hidden ("grad") base MLP half: instead of the
+    pre-GELU hidden, emit ``gelu'(e)`` (int8, per-row-per-strip
+    symmetric scales) — the anchor for the NO-GELU delta kernel
+    ``dg = de * gelu'(e_b)``. The base itself consumes the EXACT f32
+    hidden (no e-quantization pass needed: the delta never re-evaluates
+    the GELU, and a zero stage delta gives dg = 0 bit-exactly by
+    construction). fc2 consumes the affine-quantized GELU output as in
+    the other base variants."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
+        cp.start()
+        cp.wait()
+        cp2 = pltpu.make_async_copy(w2_ref, w2_v, sem)
+        cp2.start()
+        cp2.wait()
+
+    x = x_ref[:]
+    xln = _ln_f32(x, lns_ref, lnb_ref, eps)
+    xq, xs = _rowquant(xln)
+    hs = hidden // col_slices
+    hscales, hzps = [], []
+    for j in range(col_slices):
+        part = jax.lax.dot_general(
+            xq, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        e = (part.astype(jnp.float32) * xs
+             * s1_ref[0:1, j * hs:(j + 1) * hs]
+             + b1_ref[0:1, j * hs:(j + 1) * hs])
+        gp = _gelu_grad_exact(e)
+        gpq, gps = _rowquant(gp)
+        gpq_ref[:, j * hs:(j + 1) * hs] = gpq
+        gps_ref[:, j:j + 1] = gps
+        g = _gelu_exact(e)
+        gmax = jnp.max(g, axis=-1, keepdims=True)
+        gmin = jnp.min(g, axis=-1, keepdims=True)
+        sc = jnp.maximum(gmax - gmin, 1e-8) * (1.0 / 254.0)
+        zp = (gmax + gmin) * 0.5
+        h_v[:, j * hs:(j + 1) * hs] = jnp.round(
+            (g - zp) / sc).astype(jnp.int8)
+        hscales.append(sc)
+        hzps.append(zp)
+    acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
+    for j in range(col_slices):
+        w2s = w2_v[j * hs:(j + 1) * hs, :]
+        dd = jax.lax.dot_general(
+            h_v[:, j * hs:(j + 1) * hs], w2s,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        colsum = jnp.sum(w2s.astype(jnp.int32), axis=0, keepdims=True)
+        acc += (dd.astype(jnp.float32) * hscales[j]
+                + hzps[j] * colsum.astype(jnp.float32))
+    m = acc * s2_ref[0:1, :] + b2_ref[0:1, :]
+    mq = m.astype(m_ref.dtype)
+    m_ref[:] = mq
+    o_ref[:] = x + mq.astype(o_ref.dtype)
+
+
+def _delta_mlp_kernel_lin(x_ref, xb_ref, gpq_ref, gps_ref, mb_ref,
+                          lns_ref, lnb_ref, w1_ref, s1_ref, w2_ref,
+                          s2_ref, o_ref, w1_v, w2_v, h_v, sem,
+                          *, hidden: int, eps: float, col_slices: int):
+    """Linearized delta MLP half — NO GELU evaluation at all:
+    ``dg = de * gelu'(e_b)`` (cached int8 slope), ``m_i = m_b +
+    W2 @ q8(dg)``, ``o = x_i + m_i``. Streams match the two-GELU
+    kernel's count (gp_q replaces e_q; no second hidden operand) while
+    the transcendental VPU work (2x erf-poly + exp + divide per
+    element) drops to one multiply. Numerics: the omitted remainder is
+    ``de^2/2 * gelu''`` — O(h^2), SMOOTH in (t, x, h) (no quantization
+    floor), and a zero stage delta is bit-exact (dg = 0 exactly). The
+    O(h^2) defect is below the solver tolerance at the working step
+    sizes; NFE parity is pinned by tests/test_delta_field.py and
+    re-measured in-protocol by bench.py."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        cp = pltpu.make_async_copy(w1_ref, w1_v, sem)
+        cp.start()
+        cp.wait()
+        cp2 = pltpu.make_async_copy(w2_ref, w2_v, sem)
+        cp2.start()
+        cp2.wait()
+
+    x = x_ref[:]
+    xb = xb_ref[:]
+    d = _ln_f32(x, lns_ref, lnb_ref, eps) \
+        - _ln_f32(xb, lns_ref, lnb_ref, eps)
+    dq, ds = _rowquant(d)
+    hs = hidden // col_slices
+    hscales = []
+    for j in range(col_slices):
+        part = jax.lax.dot_general(
+            dq, w1_v[:, j * hs:(j + 1) * hs], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        de = part.astype(jnp.float32) * ds \
+            * s1_ref[0:1, j * hs:(j + 1) * hs]
+        gp = gpq_ref[:, j * hs:(j + 1) * hs].astype(jnp.float32) \
+            * gps_ref[:, j:j + 1].astype(jnp.float32)
+        dg = de * gp
+        amax = jnp.maximum(jnp.max(jnp.abs(dg), axis=-1, keepdims=True),
+                           1e-8)
+        h_v[:, j * hs:(j + 1) * hs] = jnp.round(
+            dg * (127.0 / amax)).astype(jnp.int8)
+        hscales.append(amax * (1.0 / 127.0))
+    acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
+    for j in range(col_slices):
+        dd = jax.lax.dot_general(
+            h_v[:, j * hs:(j + 1) * hs], w2_v[j * hs:(j + 1) * hs, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        acc += dd.astype(jnp.float32) * hscales[j]
+    m = mb_ref[:].astype(jnp.float32) + acc * s2_ref[0:1, :]
+    o_ref[:] = x + m.astype(o_ref.dtype)
+
+
 def _delta_mlp_kernel_g(x_ref, xb_ref, eq_ref, es_ref, gq_ref, gs_ref,
                         gz_ref, mb_ref,
                         lns_ref, lnb_ref, w1_ref, s1_ref, w2_ref, s2_ref,
@@ -633,13 +754,19 @@ def base_mlp_block(x: Array, ln_scale: Array, ln_bias: Array,
                    w1q: Array, s1: Array, b1: Array,
                    w2q: Array, s2: Array, b2: Array,
                    eps: float, interpret: Optional[bool] = None,
-                   emit_gelu: bool = False):
-    """Returns ``(o, e_q, e_s, m)`` — the MLP half plus its int8 hidden
-    cache ([rows, H] int8, [rows, n_slices] f32 scales) and the bf16
-    fc2 output. ``x``: [..., C]; weights pre-quantized. With
-    ``emit_gelu`` the affine-quantized post-GELU hidden is appended:
-    ``(o, e_q, e_s, m, g_q, g_s, g_z)`` (int8 [rows, H] + two
-    [rows, n_slices] f32) — the anchor for the one-GELU delta kernel."""
+                   mode: str = "e"):
+    """Base MLP half with a selectable hidden-cache layout:
+
+    - ``mode="e"``: ``(o, e_q, e_s, m)`` — int8 pre-GELU hidden
+      ([rows, H] + [rows, n_slices] scales) and the bf16 fc2 output;
+      anchor for the exact two-GELU delta kernel.
+    - ``mode="e+g"``: appends ``(g_q, g_s, g_z)`` — the affine
+      post-GELU hidden fc2 consumed; anchor for the one-GELU kernel.
+    - ``mode="grad"``: ``(o, gp_q, gp_s, m)`` — ``gelu'(e)`` int8
+      instead of the pre-GELU hidden; anchor for the linearized
+      (no-GELU) delta kernel. The base consumes the exact f32 hidden.
+
+    ``x``: [..., C]; weights pre-quantized."""
     if interpret is None:
         interpret = not _on_tpu()
     lead = x.shape[:-1]
@@ -649,11 +776,12 @@ def base_mlp_block(x: Array, ln_scale: Array, ln_bias: Array,
     while hidden % col_slices:
         col_slices -= 1
     row = lambda t: t.reshape(1, -1).astype(jnp.float32)
-    kernel = _base_mlp_cache_kernel_g if emit_gelu \
-        else _base_mlp_cache_kernel
+    kernel = {"e": _base_mlp_cache_kernel,
+              "e+g": _base_mlp_cache_kernel_g,
+              "grad": _base_mlp_cache_kernel_gr}[mode]
     out_shapes = [(c, x.dtype), (hidden, jnp.int8),
                   (col_slices, jnp.float32), (c, x.dtype)]
-    if emit_gelu:
+    if mode == "e+g":
         out_shapes += [(hidden, jnp.int8), (col_slices, jnp.float32),
                        (col_slices, jnp.float32)]
     out = _mlp_call(
@@ -665,7 +793,7 @@ def base_mlp_block(x: Array, ln_scale: Array, ln_bias: Array,
     o, e_q, e_s, m = out[:4]
     head = (o.reshape(*lead, c), e_q.reshape(-1, hidden),
             e_s, m.reshape(*lead, c))
-    return head + tuple(out[4:]) if emit_gelu else head
+    return head + tuple(out[4:]) if mode == "e+g" else head
 
 
 def delta_mlp_block(x: Array, xb: Array, e_q: Array, e_s: Array,
@@ -673,11 +801,14 @@ def delta_mlp_block(x: Array, xb: Array, e_q: Array, e_s: Array,
                     w1q: Array, s1: Array, w2q: Array, s2: Array,
                     eps: float, interpret: Optional[bool] = None,
                     gelu_cache: Optional[Tuple[Array, Array, Array]] = None,
-                    ) -> Array:
+                    grad: bool = False) -> Array:
     """Returns ``o_i`` [..., C] — the whole MLP half anchored at the
     base cache (``e_q/e_s`` from :func:`base_mlp_block`, row-aligned).
     ``gelu_cache=(g_q, g_s, g_z)`` (from ``base_mlp_block(...,
-    emit_gelu=True)``) selects the one-GELU kernel variant."""
+    mode="e+g")``) selects the one-GELU kernel variant. With
+    ``grad=True``, ``e_q``/``e_s`` are interpreted as the cached
+    ``gelu'(e_b)`` (``mode="grad"``) and the linearized no-GELU kernel
+    runs."""
     if interpret is None:
         interpret = not _on_tpu()
     lead = x.shape[:-1]
@@ -685,7 +816,7 @@ def delta_mlp_block(x: Array, xb: Array, e_q: Array, e_s: Array,
     hidden = w1q.shape[-1]
     row = lambda t: t.reshape(1, -1).astype(jnp.float32)
     cached = [xb.reshape(-1, c), e_q, e_s]
-    kernel = _delta_mlp_kernel
+    kernel = _delta_mlp_kernel_lin if grad else _delta_mlp_kernel
     if gelu_cache is not None:
         cached += list(gelu_cache)
         kernel = _delta_mlp_kernel_g

@@ -81,6 +81,13 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf_poly(x * 0.7071067811865476))
 
 
+def _gelu_grad_exact(x):
+    """d/dx GELU(x) = Phi(x) + x phi(x) (same erf polynomial + one
+    gaussian term; |err| ~ 1e-7). Range [-0.1290, 1.1290]."""
+    phi = 0.3989422804014327 * jnp.exp(-0.5 * x * x)
+    return 0.5 * (1.0 + _erf_poly(x * 0.7071067811865476)) + x * phi
+
+
 def _mlp_kernel_bf16(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
                      w1_v, w2_v, h_v, sem, *, hidden: int, col_slices: int):
     @pl.when(pl.program_id(0) == 0)
