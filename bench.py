@@ -254,7 +254,13 @@ def bench_dopri5_delta(params, rng):
     110, zero rejections). Reported as dopri5_stage_delta_*; main()
     promotes it to the default-protocol line when it beats the bf16
     view's number from the dopri5 section."""
+    import os
+
     from uspace_tpu.core import delta_field, solvers
+
+    # A/B knob for the measurement queue: override the hidden-cache
+    # layout without editing DEFAULT_HIDDEN_MODE
+    mode = os.environ.get("USPACE_DELTA_MODE") or None
 
     model = _uvit()
     dp = jax.jit(delta_field.prepare_delta_params)(params)
@@ -262,7 +268,7 @@ def bench_dopri5_delta(params, rng):
     @jax.jit
     def run(dp, rng):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
-        fb, fd = delta_field.make_delta_field(model, dp)
+        fb, fd = delta_field.make_delta_field(model, dp, hidden_mode=mode)
         x1, s = solvers.odeint_adaptive(
             None, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
             controller="i", safety=0.9, return_stats=True,
@@ -289,7 +295,7 @@ def bench_dopri5_delta(params, rng):
             z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
             fb = lambda t, x, p: delta_field.anchored_vf_base(
                 model, p, t, x,
-                hidden_mode=delta_field.DEFAULT_HIDDEN_MODE)
+                hidden_mode=mode or delta_field.DEFAULT_HIDDEN_MODE)
             fd = lambda t, x, c, p: delta_field.anchored_vf_delta(
                 model, p, t, x, c)
             x1, s = solvers.odeint_adaptive_host(

@@ -201,10 +201,14 @@ def _fc2_affine_exact(g2: Array, w2q: Array, s2: Array):
 
 
 # default anchored-cache layout for adaptive stage-delta solves (see
-# anchored_vf_base) — switched to whichever variant the TPU kernel
-# probes + in-solve bench measure fastest at NFE parity
-# (experiments/delta_kernel_probe.py, bench.py dopri5_delta section).
-DEFAULT_HIDDEN_MODE = "gelu"
+# anchored_vf_base). r5 same-harness TPU A/B (bench.py dopri5_delta,
+# dopri5 rtol=atol=1e-5 I-controller safety 0.9, batch 50, NFE 110 and
+# zero rejections for ALL variants): two-GELU "exact" 7.28 img/s
+# (62.4 ms/eval) -> one-GELU "gelu" 8.73 (52.1) -> GELU-free "grad"
+# 10.08 (45.1, equal-NFE 2.016, reproduced twice) — vs the bf16 view's
+# 8.46 (53.7). grad solution quality vs the bf16 dopri5 solve:
+# rel-L2 5.4e-3, cos 0.9999857 (experiments/delta_dopri5.py).
+DEFAULT_HIDDEN_MODE = "grad"
 
 
 def _skip_base(bp: Dict, h: Array, skip: Array, dtype) -> Array:
