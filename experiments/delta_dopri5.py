@@ -10,7 +10,7 @@ stays clean (docs/scaling.md).
 Measures: NFE, rejections, img/s, and solution agreement vs the bf16
 lnmlp view's dopri5 solution from the same z.
 
-Usage: python experiments/delta_dopri5.py [agree] [xla] [mode=<hidden_mode>]
+Usage: python experiments/delta_dopri5.py [agree] [xla] [mode=<hidden_mode>] [safety=<f>]
 ("xla" runs the unfused plain-XLA composition instead of the fused
 Pallas delta kernels — the A/B for ops/delta.py)
 """
@@ -24,7 +24,8 @@ import jax.numpy as jnp
 BATCH = 50
 
 
-def main(check_agreement=False, fused=True, hidden_mode=None):
+def main(check_agreement=False, fused=True, hidden_mode=None,
+         safety=0.9):
     from uspace_tpu.core import delta_field, solvers
     from uspace_tpu.models import UViT
 
@@ -42,7 +43,7 @@ def main(check_agreement=False, fused=True, hidden_mode=None):
                                               hidden_mode=hidden_mode)
         x1, s = solvers.odeint_adaptive(
             None, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
-            controller="i", safety=0.9, return_stats=True,
+            controller="i", safety=safety, return_stats=True,
             stage_delta=(fb, fd))
         return x1, s["nfe"], s["steps"] - s["accepted"]
 
@@ -54,7 +55,7 @@ def main(check_agreement=False, fused=True, hidden_mode=None):
     dt = time.perf_counter() - t0
     ips = BATCH / dt
     nfe = int(nfe)
-    print(f"DELTA dopri5-defaults: {ips:.2f} img/s  NFE={nfe} "
+    print(f"DELTA dopri5 safety={safety}: {ips:.2f} img/s  NFE={nfe} "
           f"rej={int(rej)}  equalNFE_vs_A100={ips / (11.0 * 50 / nfe):.3f}",
           flush=True)
 
@@ -85,9 +86,12 @@ def main(check_agreement=False, fused=True, hidden_mode=None):
 
 
 if __name__ == "__main__":
-    _mode = None
+    _mode, _safety = None, 0.9
     for a in sys.argv[1:]:
         if a.startswith("mode="):
             _mode = a.split("=", 1)[1]
+        if a.startswith("safety="):
+            _safety = float(a.split("=", 1)[1])
     main(check_agreement="agree" in sys.argv[1:],
-         fused="xla" not in sys.argv[1:], hidden_mode=_mode)
+         fused="xla" not in sys.argv[1:], hidden_mode=_mode,
+         safety=_safety)
