@@ -266,23 +266,48 @@ def bench_dopri5_delta(params, rng):
     dp = jax.jit(delta_field.prepare_delta_params)(params)
 
     @jax.jit
-    def run(dp, rng):
+    def run(dp, rng, safety):
         z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
         fb, fd = delta_field.make_delta_field(model, dp, hidden_mode=mode)
         x1, s = solvers.odeint_adaptive(
             None, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
-            controller="i", safety=0.9, return_stats=True,
+            controller="i", safety=safety, return_stats=True,
             stage_delta=(fb, fd))
         return x1.mean(), s["nfe"], s["steps"] - s["accepted"]
 
     path = "compiled-while-loop"
+    tuned = {}
     try:
-        out = run(dp, rng)
+        out = run(dp, rng, jnp.float32(0.9))
         _ = float(out[0])  # compile + warm
         t0 = time.perf_counter()
-        m, nfe, rej = run(dp, jax.random.fold_in(rng, 1))
+        m, nfe, rej = run(dp, jax.random.fold_in(rng, 1), jnp.float32(0.9))
         _ = float(m)
         dt = time.perf_counter() - t0
+        # tuned-safety line (same executable — safety is a traced
+        # scalar, like the bf16 section): the r3 safety sweep showed
+        # safety 1.0 drops NFE 110 -> ~80 with zero rejections on this
+        # field; the stage-delta mechanism is h-scaled so it inherits
+        # the same controller behavior. Failure here must not discard
+        # the default-protocol numbers already in hand.
+        try:
+            m2, nfe_t, rej_t = run(dp, jax.random.fold_in(rng, 2),
+                                   jnp.float32(1.0))
+            _ = float(m2)  # warm the new trip count
+            t0 = time.perf_counter()
+            m2, nfe_t, rej_t = run(dp, jax.random.fold_in(rng, 3),
+                                   jnp.float32(1.0))
+            _ = float(m2)
+            dt_t = time.perf_counter() - t0
+            tuned = {
+                "dopri5_stage_delta_tuned_imgs_per_sec":
+                    round(BATCH / dt_t, 2),
+                "dopri5_stage_delta_tuned_nfe": int(nfe_t),
+                "dopri5_stage_delta_tuned_rejections": int(rej_t),
+                "dopri5_stage_delta_tuned_safety": 1.0,
+            }
+        except Exception:
+            pass
     except Exception:
         # the compile service rejected the while_loop program — fall
         # back to the host-stepped stage-delta twin (identical step
@@ -322,6 +347,7 @@ def bench_dopri5_delta(params, rng):
         "dopri5_stage_delta_ms_per_eval": round(dt / nfe * 1000.0, 1),
         "dopri5_stage_delta_vs_baseline_equal_nfe": round(
             ips / (BASELINE_A100_IMG_PER_SEC * STEPS / nfe), 3),
+        **tuned,
     }
 
 
@@ -823,6 +849,24 @@ def main():
         result["dopri5_vs_baseline_equal_nfe"] = \
             result["dopri5_stage_delta_vs_baseline_equal_nfe"]
         result["dopri5_default_view"] = "int8-stage-delta"
+        print(json.dumps(result), flush=True)
+    # same like-for-like rule for the tuned (safety 1.0) line
+    sd_t = result.get("dopri5_stage_delta_tuned_imgs_per_sec")
+    bf16_tuned = result.get("dopri5_imgs_per_sec")
+    if (sd_t and bf16_tuned
+            and result.get("dopri5_path") == "compiled-while-loop"
+            and result.get("dopri5_stage_delta_path")
+            == "compiled-while-loop"
+            and sd_t > bf16_tuned):
+        result["dopri5_tuned_promoted_over"] = {
+            "bf16_imgs_per_sec": bf16_tuned,
+            "bf16_nfe": result.get("dopri5_nfe"),
+        }
+        result["dopri5_imgs_per_sec"] = sd_t
+        result["dopri5_nfe"] = result["dopri5_stage_delta_tuned_nfe"]
+        result["dopri5_rejections"] = \
+            result["dopri5_stage_delta_tuned_rejections"]
+        result["dopri5_tuned_view"] = "int8-stage-delta"
         print(json.dumps(result), flush=True)
     print(json.dumps(result))
 
