@@ -778,6 +778,55 @@ def _section_subprocess(key, timeout):
     return frag, err
 
 
+def promote_stage_delta(result):
+    """Promote the stage-delta dopri5 lines over the bf16 ones when they
+    win LIKE-FOR-LIKE (advisor r4): the bf16 dopri5 section must have
+    succeeded on the compiled-while-loop path (a stages-device-fallback
+    bf16 number is slower for reasons that have nothing to do with the
+    field), and the comparison basis is recorded. Mutates ``result``;
+    returns True if either the default-protocol or the tuned line was
+    promoted. Pure dict logic — pinned by tests/test_bench_contract.py."""
+    promoted = False
+    sd = result.get("dopri5_stage_delta_imgs_per_sec")
+    bf16_def = result.get("dopri5_torchdiffeq_default_imgs_per_sec")
+    if (sd and bf16_def
+            and result.get("dopri5_path") == "compiled-while-loop"
+            and sd > bf16_def):
+        result["dopri5_promoted_over"] = {
+            "bf16_imgs_per_sec": bf16_def,
+            "bf16_path": result["dopri5_path"],
+            "stage_delta_path": result.get("dopri5_stage_delta_path"),
+        }
+        result["dopri5_torchdiffeq_default_imgs_per_sec"] = sd
+        result["dopri5_torchdiffeq_default_nfe"] = \
+            result["dopri5_stage_delta_nfe"]
+        result["dopri5_vs_baseline_equal_nfe"] = \
+            result["dopri5_stage_delta_vs_baseline_equal_nfe"]
+        result["dopri5_default_view"] = "int8-stage-delta"
+        promoted = True
+    # same like-for-like rule for the tuned (safety 1.0) line; here the
+    # stage-delta side must itself be compiled — the tuned measurement
+    # only exists on that path, but keep the guard explicit
+    sd_t = result.get("dopri5_stage_delta_tuned_imgs_per_sec")
+    bf16_tuned = result.get("dopri5_imgs_per_sec")
+    if (sd_t and bf16_tuned
+            and result.get("dopri5_path") == "compiled-while-loop"
+            and result.get("dopri5_stage_delta_path")
+            == "compiled-while-loop"
+            and sd_t > bf16_tuned):
+        result["dopri5_tuned_promoted_over"] = {
+            "bf16_imgs_per_sec": bf16_tuned,
+            "bf16_nfe": result.get("dopri5_nfe"),
+        }
+        result["dopri5_imgs_per_sec"] = sd_t
+        result["dopri5_nfe"] = result["dopri5_stage_delta_tuned_nfe"]
+        result["dopri5_rejections"] = \
+            result["dopri5_stage_delta_tuned_rejections"]
+        result["dopri5_tuned_view"] = "int8-stage-delta"
+        promoted = True
+    return promoted
+
+
 def main():
     import os
 
@@ -827,46 +876,7 @@ def main():
                 break
             result[f"{key}_error"] = err
         print(json.dumps(result), flush=True)  # last complete line wins
-    # promote the stage-delta line to the reference-default protocol
-    # metric only when it beats a LIKE-FOR-LIKE bf16 number: the bf16
-    # dopri5 section must have succeeded on the compiled-while-loop path
-    # (a stages-device-fallback bf16 number is slower for reasons that
-    # have nothing to do with the field), and the comparison basis is
-    # recorded (advisor r4)
-    sd = result.get("dopri5_stage_delta_imgs_per_sec")
-    bf16_def = result.get("dopri5_torchdiffeq_default_imgs_per_sec")
-    if (sd and bf16_def
-            and result.get("dopri5_path") == "compiled-while-loop"
-            and sd > bf16_def):
-        result["dopri5_promoted_over"] = {
-            "bf16_imgs_per_sec": bf16_def,
-            "bf16_path": result["dopri5_path"],
-            "stage_delta_path": result.get("dopri5_stage_delta_path"),
-        }
-        result["dopri5_torchdiffeq_default_imgs_per_sec"] = sd
-        result["dopri5_torchdiffeq_default_nfe"] = \
-            result["dopri5_stage_delta_nfe"]
-        result["dopri5_vs_baseline_equal_nfe"] = \
-            result["dopri5_stage_delta_vs_baseline_equal_nfe"]
-        result["dopri5_default_view"] = "int8-stage-delta"
-        print(json.dumps(result), flush=True)
-    # same like-for-like rule for the tuned (safety 1.0) line
-    sd_t = result.get("dopri5_stage_delta_tuned_imgs_per_sec")
-    bf16_tuned = result.get("dopri5_imgs_per_sec")
-    if (sd_t and bf16_tuned
-            and result.get("dopri5_path") == "compiled-while-loop"
-            and result.get("dopri5_stage_delta_path")
-            == "compiled-while-loop"
-            and sd_t > bf16_tuned):
-        result["dopri5_tuned_promoted_over"] = {
-            "bf16_imgs_per_sec": bf16_tuned,
-            "bf16_nfe": result.get("dopri5_nfe"),
-        }
-        result["dopri5_imgs_per_sec"] = sd_t
-        result["dopri5_nfe"] = result["dopri5_stage_delta_tuned_nfe"]
-        result["dopri5_rejections"] = \
-            result["dopri5_stage_delta_tuned_rejections"]
-        result["dopri5_tuned_view"] = "int8-stage-delta"
+    if promote_stage_delta(result):
         print(json.dumps(result), flush=True)
     print(json.dumps(result))
 
