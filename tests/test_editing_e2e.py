@@ -172,3 +172,43 @@ def test_trained_model_editing_pixel_space(tmp_path):
         assert rec["monotone_fraction"] >= 0.9, rec
         assert rec["gt_agrees"], rec
     assert report["passed"]
+
+
+def test_monotone_gate_math():
+    """Unit-pins the saturation-aware monotone gate helpers
+    (cli/editing_e2e.py): paired-difference SEMs, mask-restricted
+    monotone fractions, and the vacuous all-masked case whose semantics
+    the advisor r4 finding turned on."""
+    from uspace_tpu.cli.editing_e2e import (monotone_fraction,
+                                            paired_move_sems)
+
+    scales = [-2.0, -1.0, 0.0, 1.0, 2.0]
+    assert monotone_fraction([0, 1, 2, 3, 4], scales) == 1.0
+    # one reversal among four pairs
+    assert monotone_fraction([0, 1, 0.5, 3, 4], scales) == 0.75
+    # mask drops the reversed pair -> perfect on the supported pairs
+    assert monotone_fraction([0, 1, 0.5, 3, 4], scales,
+                             mask=[True, False, True, True]) == 1.0
+    # every pair masked -> vacuous 1.0 by contract (run() only uses the
+    # masked fraction when >= 2 pairs are supported)
+    assert monotone_fraction([0, 1, 0.5, 3, 4], scales,
+                             mask=[False] * 4) == 1.0
+    # zero scale step contributes nothing
+    assert monotone_fraction([0, 1, 5], [0.0, 0.0, 1.0]) == 1.0
+
+    # paired SEM: same z batch at every scale -> the noise on a move is
+    # the paired-difference SEM, computed per adjacent pair
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(1, 64))
+    proj = np.concatenate([base, base + 1.0 + 0.1 * rng.normal(size=(1, 64)),
+                           base + 2.0], axis=0)  # [3, 64]
+    sems = paired_move_sems(proj)
+    assert len(sems) == 2
+    d0 = proj[1] - proj[0]
+    np.testing.assert_allclose(
+        sems[0], d0.std(ddof=1) / np.sqrt(64), rtol=1e-12)
+    # the second move undoes the first's noise exactly except sign
+    np.testing.assert_allclose(sems[1], sems[0], rtol=0.5)
+    # a clean paired move has ~zero SEM even with large cross-sample
+    # spread (the whole point of pairing)
+    assert sems[0] < 0.02 * proj[0].std()
