@@ -169,6 +169,63 @@ def test_solver_kwargs_plumbing(tmp_path):
     assert np.isfinite(np.asarray(lat)).all()
 
 
+def test_stage_delta_field_knob(tmp_path):
+    """``sample.solver_kwargs.field="stage_delta_int8"`` routes eval
+    sampling through the int8 base-anchored stage-delta adaptive solve
+    (core/delta_field.py — the bench's promoted dopri5 line) straight
+    from the config surface, with ``safety`` plumbed alongside; the
+    solution must agree with the plain adaptive solve to int8-noise
+    level, and the knob must refuse the combinations it doesn't cover."""
+    import jax
+    import numpy as np
+
+    from uspace_tpu.configs.synthetic_smoke import get_config
+    from uspace_tpu.train.loop import Experiment
+
+    cfg = get_config()
+    with cfg.unlocked():
+        cfg.sample.solver_kwargs.solver = "adaptive"
+        cfg.sample.solver_kwargs.field = "stage_delta_int8"
+        cfg.sample.solver_kwargs.safety = 1.0
+    exp = Experiment(cfg, str(tmp_path / "wd"))
+    params = {"params": exp.state.params["params"]}
+    lat = exp.sample_latents(params, jax.random.PRNGKey(0), 2)
+    assert lat.shape[0] == 2 and np.isfinite(np.asarray(lat)).all()
+
+    # same z through the plain bf16 adaptive solve: int8-noise agreement
+    cfg2 = get_config()
+    with cfg2.unlocked():
+        cfg2.sample.solver_kwargs.solver = "adaptive"
+        cfg2.sample.solver_kwargs.safety = 1.0
+    exp2 = Experiment(cfg2, str(tmp_path / "wd2"))
+    ref = exp2.sample_latents(params, jax.random.PRNGKey(0), 2)
+    rel = (np.linalg.norm(np.asarray(lat) - np.asarray(ref))
+           / np.linalg.norm(np.asarray(ref)))
+    assert rel < 0.05, rel
+
+    # refused combinations fail loudly, not silently fall back
+    with cfg.unlocked():
+        cfg.sample.solver_kwargs.solver = "fixed"
+    exp3 = Experiment(cfg, str(tmp_path / "wd3"))
+    with pytest.raises(ValueError):
+        exp3.sample_latents(params, jax.random.PRNGKey(0), 2)
+    with cfg.unlocked():
+        cfg.sample.solver_kwargs.solver = "adaptive"
+    exp4 = Experiment(cfg, str(tmp_path / "wd4"))
+    with pytest.raises(NotImplementedError):
+        exp4.sample_latents(params, jax.random.PRNGKey(0), 2,
+                            cond={"y": np.zeros((2,), np.int32)})
+
+    # host-driver twin of the knob (the tunnel path): param-threaded
+    # stage-delta through odeint_adaptive_host, same step sequence
+    with cfg.unlocked():
+        cfg.sample.solver_kwargs.driver = "host"
+    exp5 = Experiment(cfg, str(tmp_path / "wd5"))
+    lat_h = exp5.sample_latents(params, jax.random.PRNGKey(0), 2)
+    np.testing.assert_allclose(np.asarray(lat_h), np.asarray(lat),
+                               rtol=1e-3, atol=1e-3)
+
+
 @pytest.mark.slow
 def test_training_is_deterministic(tmp_path):
     """Same seed -> identical loss trajectory (the reference only has

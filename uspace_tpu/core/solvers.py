@@ -786,6 +786,12 @@ def odeint(
     - ``{"solver": "fixadp", ...}`` with split point ``t_mid`` — fixed on
       [t0, t_mid], adaptive on [t_mid, t1] (flow_matching.py:153-180).
 
+    Optional keys forwarded to the adaptive solves: ``rtol``/``atol``,
+    ``controller``, ``safety`` (0.9 = torchdiffeq default; 1.0 = the
+    tuned protocol — same tolerances and accept test, measured zero
+    rejections on the U-ViT fields), and ``stage_delta`` (the int8
+    base-anchored field pair; see the comment at the read site).
+
     ``vf_params``: optional parameter pytree; when given the field is
     called as ``vf(t, x, vf_params)``. For the host adaptive driver it
     is threaded as an explicit argument of every compiled program
@@ -799,6 +805,14 @@ def odeint(
     rtol = sk.get("rtol", rtol)
     atol = sk.get("atol", atol)
     controller = sk.get("controller", "i")
+    safety = sk.get("safety", 0.9)
+    # stage_delta: (vf_base, vf_delta) pair (core/delta_field.py) for
+    # the adaptive part of the solve — the int8 field that holds NFE
+    # parity with bf16 under step control. Callables can't live in an
+    # ml_collections config; config-driven callers set the string knob
+    # ``field="stage_delta_int8"`` instead and the sampling layer
+    # (train/loop.py sample_latents) builds the pair from the model.
+    stage_delta = sk.get("stage_delta")
     host = kind != "fixed" and sk.get("driver") == "host"
     if vf_params is not None and not host:
         # in-graph solvers: bind the tree (callers jit these solves with
@@ -814,14 +828,18 @@ def odeint(
         raise ValueError("activation capture requires a fixed-step solver")
     if kind == "adaptive":
         if host:
+            # host-path stage-delta callables are param-threaded:
+            # (vf_base(t, x, p), vf_delta(t, x, cache, p))
             return odeint_adaptive_host(
                 vf, x0, t0, t1, method=sk.get("solver_adaptive", "dopri5"),
                 rtol=rtol, atol=atol, controller=controller,
-                program=sk.get("program", "fused"), vf_params=vf_params,
+                safety=safety, program=sk.get("program", "fused"),
+                vf_params=vf_params, stage_delta=stage_delta,
             )
         return odeint_adaptive(
             vf, x0, t0, t1, method=sk.get("solver_adaptive", "dopri5"),
-            rtol=rtol, atol=atol, controller=controller,
+            rtol=rtol, atol=atol, controller=controller, safety=safety,
+            stage_delta=stage_delta,
         )
     if kind == "fixadp":
         if t_mid is None:
@@ -832,6 +850,7 @@ def odeint(
         )
         return odeint_adaptive(
             vf, x_mid, t_mid, t1, method=sk.get("solver_adaptive", "dopri5"),
-            rtol=rtol, atol=atol, controller=controller,
+            rtol=rtol, atol=atol, controller=controller, safety=safety,
+            stage_delta=stage_delta,
         )
     raise NotImplementedError(f"solver={kind!r}")

@@ -226,10 +226,65 @@ class Experiment:
         sk = self.solver_kwargs(sample_steps)
         use_cfg = cfg_scale > 0 and bool(cond)
         null = self.null_cond(cond) if use_cfg else {}
+        # config-surface knob for the int8 base-anchored stage-delta
+        # field (core/delta_field.py — NFE parity with bf16 under
+        # adaptive step control; the bench's promoted dopri5 line):
+        #   sample.solver_kwargs.field = "stage_delta_int8"
+        # optional: .hidden_mode ("grad" default), .safety (0.9/1.0).
+        # The pair is built inside the jitted sample_fn from the traced
+        # params, so the executable stays params-free.
+        field = sk.pop("field", None)
+        hidden_mode = sk.pop("hidden_mode", None)
+        if field not in (None, "", "stage_delta_int8"):
+            raise NotImplementedError(f"solver_kwargs.field={field!r}")
+        if field:
+            if sk.get("solver", "fixed") not in ("adaptive", "fixadp"):
+                raise ValueError(
+                    "field=stage_delta_int8 needs an adaptive(-tail) "
+                    "solver — fixed-step solves should use the plain "
+                    "int8 view (model quant=True) instead")
+            if use_cfg or cond:
+                # the delta field evaluates the bare uncond UViT; CFG /
+                # conditioned fields keep their measured-best paths
+                # (fused-2B CFG kernel, class embeds)
+                raise NotImplementedError(
+                    "stage_delta_int8 sampling is uncond-only")
+
+            from ..core import delta_field
+            from ..models import UViT
+
+            if not isinstance(self.model, UViT):
+                raise NotImplementedError(
+                    "stage_delta_int8 is built for the UViT family "
+                    "(core/delta_field.py block layout)")
+
+            def attach_stage_delta(sk2, params):
+                dp = delta_field.prepare_delta_params(params)
+                sk2 = dict(sk2)
+                sk2["stage_delta"] = delta_field.make_delta_field(
+                    self.model, dp, hidden_mode=hidden_mode)
+                return sk2
         if sk.get("driver") == "host":
             # host-driven adaptive solve: a Python loop, not jittable —
             # eager path (odeint threads nothing big; tunnel-scale use
             # goes through solvers.odeint_adaptive_host directly)
+            if field:
+                # host-path stage-delta is param-threaded (closure
+                # capture would bake the quantized tree into every
+                # compiled step program — the tunnel crash mode)
+                from ..core import solvers as solverslib
+
+                dp = jax.jit(delta_field.prepare_delta_params)(params)
+                sk = dict(sk)
+                hm = hidden_mode or delta_field.DEFAULT_HIDDEN_MODE
+                sk["stage_delta"] = (
+                    lambda t, x, p: delta_field.anchored_vf_base(
+                        self.model, p, t, x, hidden_mode=hm),
+                    lambda t, x, c, p: delta_field.anchored_vf_delta(
+                        self.model, p, t, x, c))
+                sk.setdefault("program", "stages")
+                return solverslib.odeint(None, z, 0.0, 1.0,
+                                         solver_kwargs=sk, vf_params=dp)
             vf = (cfg_velocity_fn(self.model, params, cond, null, cfg_scale)
                   if use_cfg else make_velocity_fn(self.model, params, cond))
             return flow.decode(vf, z, sk)
@@ -237,7 +292,8 @@ class Experiment:
         # params/z/cond as explicit arguments: no re-trace per eval, no
         # param tree baked into the executable payload
         key = (tuple(sorted((k, repr(v)) for k, v in sk.items())),
-               use_cfg and cfg_scale, tuple(sorted(cond)))
+               field, hidden_mode, use_cfg and cfg_scale,
+               tuple(sorted(cond)))
         fn = self._sample_fns.get(key)
         if fn is None:
             def sample_fn(params, z, cond, null):
@@ -245,7 +301,8 @@ class Experiment:
                                       cfg_scale)
                       if use_cfg
                       else make_velocity_fn(self.model, params, cond))
-                return flow.decode(vf, z, sk)
+                sk_run = attach_stage_delta(sk, params) if field else sk
+                return flow.decode(vf, z, sk_run)
 
             fn = self._sample_fns[key] = jax.jit(sample_fn)
         return fn(params, z, cond, null)
