@@ -316,13 +316,18 @@ def bench_dopri5_delta(params, rng):
         _wait_backend()
         path = "host-stages-fallback"
 
+        # fb/fd hoisted OUT of host(): odeint_adaptive_host jits the
+        # pair by callable identity, so fresh lambdas per call would
+        # make the timed second solve re-trace the whole field (axon
+        # tracing is 20-50x CPU) instead of hitting the jit cache
+        fb = lambda t, x, p: delta_field.anchored_vf_base(
+            model, p, t, x,
+            hidden_mode=mode or delta_field.DEFAULT_HIDDEN_MODE)
+        fd = lambda t, x, c, p: delta_field.anchored_vf_delta(
+            model, p, t, x, c)
+
         def host(rng):
             z = jax.random.normal(rng, (BATCH, 32, 32, 4), jnp.float32)
-            fb = lambda t, x, p: delta_field.anchored_vf_base(
-                model, p, t, x,
-                hidden_mode=mode or delta_field.DEFAULT_HIDDEN_MODE)
-            fd = lambda t, x, c, p: delta_field.anchored_vf_delta(
-                model, p, t, x, c)
             x1, s = solvers.odeint_adaptive_host(
                 None, z, 0.0, 1.0, method="dopri5", rtol=1e-5, atol=1e-5,
                 controller="i", safety=0.9, return_stats=True,

@@ -405,3 +405,32 @@ def test_stage_unroll_matches_scan(tiny):
     # same rationale as the fast twin: g-cache near-constant dg rounding
     # flips on summation order (measured 3.5e-4 at rtol=1e-5)
     assert _rel(x_u, x_s) < 2e-3
+
+
+def test_hidden_mode_validated_on_both_paths():
+    """A typo'd hidden_mode must fail loudly before any compute — the
+    unfused if/elif chain used to silently fall back to "exact"."""
+    import pytest
+
+    from uspace_tpu.core import delta_field
+
+    for fused in (True, False):
+        with pytest.raises(ValueError, match="hidden_mode"):
+            delta_field.anchored_vf_base(None, None, None, None,
+                                         fused=fused, hidden_mode="gard")
+
+
+def test_strip_count_matches_fused_kernels():
+    """The unfused affine-strip quantization must derive its strip
+    count exactly like ops/delta.py's fused kernels (largest divisor of
+    the hidden width <= _COL_SLICES), or the fused/unfused caches stop
+    being layout-identical."""
+    from uspace_tpu.core.delta_field import _n_strips
+    from uspace_tpu.ops import delta as delta_ops
+
+    for hidden in (128, 4096, 96, 130, 6, 7, 1):
+        expect = delta_ops._COL_SLICES
+        while hidden % expect:
+            expect -= 1
+        assert _n_strips(hidden) == expect, hidden
+        assert hidden % _n_strips(hidden) == 0

@@ -212,3 +212,8 @@ def test_monotone_gate_math():
     # a clean paired move has ~zero SEM even with large cross-sample
     # spread (the whole point of pairing)
     assert sems[0] < 0.02 * proj[0].std()
+
+    # batch of 1: no paired estimate exists — infinite SEMs (never NaN)
+    # so zero pairs are supported and the raw-fraction fallback engages
+    sems1 = paired_move_sems(proj[:, :1])
+    assert len(sems1) == 2 and all(np.isinf(s) for s in sems1)

@@ -81,6 +81,13 @@ def paired_move_sems(proj: np.ndarray):
     the projections themselves. Used to decide which ground-truth moves
     are statistically real (supported-pair masking below)."""
     b = proj.shape[1]
+    if b < 2:
+        # a single sample gives no paired-difference estimate (ddof=1
+        # would divide by zero -> NaN, silently failing every >=3*SEM
+        # support test); report infinite uncertainty so zero pairs are
+        # supported and run() falls back to the raw monotone fraction
+        # explicitly (supported_pairs == 0 in the record)
+        return [float("inf")] * (proj.shape[0] - 1)
     d = proj[1:] - proj[:-1]  # [S-1, B] paired moves
     return [float(x) for x in d.std(axis=1, ddof=1) / np.sqrt(b)]
 

@@ -184,12 +184,25 @@ def _affine_deq(g_q: Array, g_s: Array, g_z: Array) -> Array:
     return (gs * g_s[..., None] + g_z[..., None]).reshape(r, h)
 
 
+def _n_strips(hidden: int) -> int:
+    """Strip count for affine hidden quantization — MUST match the
+    fused kernels' derivation (ops/delta.py: start at _COL_SLICES,
+    decrement to the nearest divisor of the hidden width) so the
+    fused/unfused caches stay layout-identical at every model size."""
+    from ..ops import delta as delta_ops
+
+    n = delta_ops._COL_SLICES
+    while hidden % n:
+        n -= 1
+    return n
+
+
 def _fc2_affine_exact(g2: Array, w2q: Array, s2: Array):
     """fc2 on the affine-strip-quantized GELU output, quantize-then-use
     (exact int8 dot on g_q + zero-point colsum correction — the XLA
     twin of the fused base kernels' fc2). Returns the f32 accumulator
     (pre-bias) and the (g_q, g_s, g_z) cache."""
-    g_q, g_s, g_z = _affine_strips(g2, 4)
+    g_q, g_s, g_z = _affine_strips(g2, _n_strips(g2.shape[-1]))
     n = g_s.shape[-1]
     hs = g2.shape[-1] // n
     w2 = w2q.reshape(n, hs, -1)
@@ -246,6 +259,12 @@ def anchored_vf_base(model, dp: Dict, t: Array, x: Array,
 
     NFE parity for all three is pinned by tests and re-measured
     in-protocol by bench.py."""
+    if hidden_mode not in ("exact", "gelu", "grad"):
+        # validate up front: the fused branch would KeyError on its
+        # mode map but the unfused if/elif chain would silently run
+        # "exact" — a typo'd mode must fail loudly on BOTH paths
+        raise ValueError(f"hidden_mode={hidden_mode!r} "
+                         "(expected exact|gelu|grad)")
     dtype = model.dtype
     names = _block_names(model.depth)
     half = model.depth // 2

@@ -128,6 +128,12 @@ class Experiment:
         self._vae = None
         self._vae_params = None
         self._sample_fns = {}
+        # host-path stage-delta machinery, cached by callable identity:
+        # odeint_adaptive_host jits what it's handed, so fresh lambdas
+        # (or a fresh jax.jit wrapper) per eval batch would re-trace the
+        # whole field every call
+        self._host_delta_pairs = {}
+        self._delta_prepare = None
 
     def _init_args(self, z_hwc):
         x = jnp.zeros((1, *z_hwc), jnp.float32)
@@ -238,11 +244,14 @@ class Experiment:
         if field not in (None, "", "stage_delta_int8"):
             raise NotImplementedError(f"solver_kwargs.field={field!r}")
         if field:
-            if sk.get("solver", "fixed") not in ("adaptive", "fixadp"):
+            # fixadp is deliberately NOT allowed: this eval-sampling
+            # surface has no t_edit split point to give the fixed
+            # segment (fixadp editing runs through editing/drivers.py)
+            if sk.get("solver", "fixed") != "adaptive":
                 raise ValueError(
-                    "field=stage_delta_int8 needs an adaptive(-tail) "
-                    "solver — fixed-step solves should use the plain "
-                    "int8 view (model quant=True) instead")
+                    "field=stage_delta_int8 needs solver=adaptive — "
+                    "fixed-step solves should use the plain int8 view "
+                    "(model quant=True) instead")
             if use_cfg or cond:
                 # the delta field evaluates the bare uncond UViT; CFG /
                 # conditioned fields keep their measured-best paths
@@ -274,14 +283,20 @@ class Experiment:
                 # compiled step program — the tunnel crash mode)
                 from ..core import solvers as solverslib
 
-                dp = jax.jit(delta_field.prepare_delta_params)(params)
-                sk = dict(sk)
+                if self._delta_prepare is None:
+                    self._delta_prepare = jax.jit(
+                        delta_field.prepare_delta_params)
+                dp = self._delta_prepare(params)
                 hm = hidden_mode or delta_field.DEFAULT_HIDDEN_MODE
-                sk["stage_delta"] = (
-                    lambda t, x, p: delta_field.anchored_vf_base(
-                        self.model, p, t, x, hidden_mode=hm),
-                    lambda t, x, c, p: delta_field.anchored_vf_delta(
-                        self.model, p, t, x, c))
+                pair = self._host_delta_pairs.get(hm)
+                if pair is None:
+                    pair = self._host_delta_pairs[hm] = (
+                        lambda t, x, p: delta_field.anchored_vf_base(
+                            self.model, p, t, x, hidden_mode=hm),
+                        lambda t, x, c, p: delta_field.anchored_vf_delta(
+                            self.model, p, t, x, c))
+                sk = dict(sk)
+                sk["stage_delta"] = pair
                 sk.setdefault("program", "stages")
                 return solverslib.odeint(None, z, 0.0, 1.0,
                                          solver_kwargs=sk, vf_params=dp)
